@@ -1,0 +1,223 @@
+"""Extraction semantics: the lang/pattern dimension + per-file extractors.
+
+This is the target's analogue of the reference's 24-engine converter library
+(/root/reference/src/smart_pdf_md/core.py:277-949) collapsed to exactly two
+extractor *families* (SURVEY.md §2.6 mapping):
+
+- **AST family** — Python stdlib `ast` for ``lang='python'`` (imports, defs,
+  calls, docstring entities). Raises ``SyntaxError`` for unparseable content;
+  the caller falls back to the regex family (the analogue of the reference's
+  engine fallback chains, e.g. borb→pypdf at core.py:795-797 and the
+  unopenable-PDF single-pass fallback at core.py:1041-1048).
+- **Regex family** — batched compiled patterns from the small ``LANG_PATTERNS``
+  dimension (broadcast-joined on the Spark side) for every language.
+
+These functions define the semantics once; the pure-Python oracle
+(oracle.py) and the Arrow-vectorized Spark stage (operators/extract.py) both
+call them, so the P/R gate measures the *distributed assembly* (routing,
+chunking, fallback, shuffles), not incidental regex drift.
+
+Mention record: ``(kind, name, qualifier, line, enclosing)`` with
+``kind ∈ {import, def, call, doc_entity}``.
+"""
+
+from __future__ import annotations
+
+import ast
+import bisect
+import re
+
+# ---------------------------------------------------------------------------
+# The small dimension table (broadcast side of J1).
+# kind: import | def | call | doc_entity ; group 1 captures the name.
+# ---------------------------------------------------------------------------
+LANG_PATTERNS: list[dict] = [
+    # python
+    {"lang": "python", "kind": "import", "regex": r"^\s*import\s+([\w\.]+)", "priority": 0},
+    {"lang": "python", "kind": "import", "regex": r"^\s*from\s+([\w\.]+)\s+import\b", "priority": 1},
+    {"lang": "python", "kind": "def", "regex": r"^\s*def\s+([A-Za-z_]\w*)", "priority": 0},
+    {"lang": "python", "kind": "def", "regex": r"^\s*class\s+([A-Za-z_]\w*)", "priority": 1},
+    {"lang": "python", "kind": "call", "regex": r"(?<![\w.])([A-Za-z_]\w*)\s*\(", "priority": 0},
+    {"lang": "python", "kind": "doc_entity", "regex": r"`([A-Za-z_][\w\.]*)`", "priority": 0},
+    # javascript
+    {"lang": "javascript", "kind": "import", "regex": r"""import\s+[^;]*?from\s+['"]([^'"]+)['"]""", "priority": 0},
+    {"lang": "javascript", "kind": "import", "regex": r"""require\(\s*['"]([^'"]+)['"]\s*\)""", "priority": 1},
+    {"lang": "javascript", "kind": "def", "regex": r"\bfunction\s+([A-Za-z_]\w*)", "priority": 0},
+    {"lang": "javascript", "kind": "def", "regex": r"\bclass\s+([A-Za-z_]\w*)", "priority": 1},
+    {"lang": "javascript", "kind": "call", "regex": r"(?<![\w.])([A-Za-z_]\w*)\s*\(", "priority": 0},
+    # go
+    {"lang": "go", "kind": "import", "regex": r"^\s*import\s+\"([^\"]+)\"", "priority": 0},
+    {"lang": "go", "kind": "import", "regex": r"^\s+\"([^\"]+)\"\s*$", "priority": 1},  # import ( ... ) block
+    {"lang": "go", "kind": "def", "regex": r"^\s*func\s+(?:\([^)]*\)\s*)?([A-Za-z_]\w*)", "priority": 0},
+    {"lang": "go", "kind": "call", "regex": r"(?<![\w.])([A-Za-z_]\w*)\s*\(", "priority": 0},
+    # markdown: doc entities only
+    {"lang": "markdown", "kind": "doc_entity", "regex": r"`([A-Za-z_][\w\.]*)`", "priority": 0},
+]
+
+SUPPORTED_LANGS = tuple(sorted({p["lang"] for p in LANG_PATTERNS}))
+
+# identifiers before "(" that are never calls
+_CALL_STOPWORDS = {
+    "python": {"def", "class", "if", "elif", "while", "for", "return", "yield",
+               "lambda", "with", "assert", "raise", "not", "and", "or", "in", "print"},
+    "javascript": {"function", "if", "for", "while", "return", "switch", "catch",
+                   "require", "import", "new", "typeof"},
+    "go": {"func", "if", "for", "return", "switch", "make", "len", "cap", "new",
+           "import", "package", "range"},
+}
+_DEF_KEYWORD_BEFORE = re.compile(r"(?:\bdef|\bclass|\bfunction|\bfunc)\s+$")
+
+_COMPILED: dict[str, list[tuple[str, re.Pattern]]] = {}
+
+
+def _compiled(lang: str) -> list[tuple[str, re.Pattern]]:
+    """Patterns for one lang, compiled once per process (the analogue of the
+    reference's lazy per-engine imports, core.py:383-386)."""
+    if lang not in _COMPILED:
+        pats = sorted((p for p in LANG_PATTERNS if p["lang"] == lang),
+                      key=lambda p: (p["kind"], p["priority"]))
+        _COMPILED[lang] = [(p["kind"], re.compile(p["regex"], re.MULTILINE)) for p in pats]
+    return _COMPILED[lang]
+
+
+def _line_starts(text: str) -> list[int]:
+    starts = [0]
+    pos = text.find("\n")
+    while pos != -1:
+        starts.append(pos + 1)
+        pos = text.find("\n", pos + 1)
+    return starts
+
+
+def assign_enclosing(mentions: list[dict]) -> list[dict]:
+    """(Re)assign each call's enclosing def = nearest preceding def.
+
+    Also used to merge chunked extractions: chunk line numbers are
+    file-absolute, so recomputing over the merged list makes chunked output
+    identical to a single whole-file pass."""
+    defs = sorted([m for m in mentions if m["kind"] == "def"], key=lambda m: m["line"])
+    def_lines = [d["line"] for d in defs]
+    for m in mentions:
+        if m["kind"] == "call":
+            j = bisect.bisect_right(def_lines, m["line"]) - 1
+            m["enclosing"] = defs[j]["name"] if j >= 0 else ""
+    return mentions
+
+
+def dedupe_mentions(mentions: list[dict]) -> list[dict]:
+    return _dedupe(mentions)
+
+
+def _dedupe(mentions: list[dict]) -> list[dict]:
+    seen: set[tuple] = set()
+    out = []
+    for m in mentions:
+        k = (m["kind"], m["name"], m["line"])
+        if k not in seen:
+            seen.add(k)
+            out.append(m)
+    return sorted(out, key=lambda m: (m["line"], m["kind"], m["name"]))
+
+
+def extract_regex_mentions(content: str, lang: str, line_offset: int = 0) -> list[dict]:
+    """Regex-family extraction. ``line_offset`` supports chunked re-entry
+    (the R1 slice-backoff analogue: chunk line numbers stay file-absolute,
+    like the reference's ``--page_range`` slices, core.py:1049-1073)."""
+    if not content or lang not in SUPPORTED_LANGS:
+        return []
+    starts = _line_starts(content)
+    stop = _CALL_STOPWORDS.get(lang, set())
+    mentions: list[dict] = []
+    for kind, rx in _compiled(lang):
+        for m in rx.finditer(content):
+            name = m.group(1)
+            if kind == "call":
+                if name in stop:
+                    continue
+                if _DEF_KEYWORD_BEFORE.search(content[max(0, m.start(1) - 12):m.start(1)]):
+                    continue
+            line = bisect.bisect_right(starts, m.start(1)) + line_offset
+            mentions.append({"kind": kind, "name": name, "qualifier": "",
+                             "line": line, "enclosing": ""})
+    # enclosing def for calls: nearest preceding def (regex route can't see
+    # scope ends; deterministic heuristic shared with the oracle)
+    return _dedupe(assign_enclosing(mentions))
+
+
+_DOC_ENTITY_RX = re.compile(r"`([A-Za-z_][\w\.]*)`")
+
+
+def _doc_entities(doc: str, start_line: int) -> list[dict]:
+    out = []
+    starts = _line_starts(doc)
+    for m in _DOC_ENTITY_RX.finditer(doc):
+        line = start_line + bisect.bisect_right(starts, m.start(1)) - 1
+        out.append({"kind": "doc_entity", "name": m.group(1), "qualifier": "",
+                    "line": line, "enclosing": ""})
+    return out
+
+
+def extract_ast_mentions(content: str) -> list[dict]:
+    """AST-family extraction for python. Raises SyntaxError → caller falls
+    back to the regex family (route_fallback)."""
+    tree = ast.parse(content)  # may raise SyntaxError
+    mentions: list[dict] = []
+
+    mod_doc = ast.get_docstring(tree, clean=False)
+    if mod_doc and tree.body:
+        mentions.extend(_doc_entities(mod_doc, tree.body[0].lineno))
+
+    def walk(node: ast.AST, enclosing: str) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(child, ast.Import):
+                for a in child.names:
+                    mentions.append({"kind": "import", "name": a.name, "qualifier": "",
+                                     "line": child.lineno, "enclosing": ""})
+            elif isinstance(child, ast.ImportFrom):
+                if child.module:
+                    mentions.append({"kind": "import", "name": child.module,
+                                     "qualifier": "", "line": child.lineno,
+                                     "enclosing": ""})
+            elif isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                mentions.append({"kind": "def", "name": child.name, "qualifier": "",
+                                 "line": child.lineno, "enclosing": enclosing})
+                doc = ast.get_docstring(child, clean=False)
+                if doc and child.body:
+                    mentions.extend(_doc_entities(doc, child.body[0].lineno))
+                walk(child, child.name)
+            elif isinstance(child, ast.Call):
+                fn = child.func
+                if isinstance(fn, ast.Name):
+                    mentions.append({"kind": "call", "name": fn.id, "qualifier": "",
+                                     "line": child.lineno, "enclosing": enclosing})
+                elif isinstance(fn, ast.Attribute):
+                    qual = ast.unparse(fn.value) if hasattr(ast, "unparse") else ""
+                    mentions.append({"kind": "call", "name": fn.attr, "qualifier": qual,
+                                     "line": child.lineno, "enclosing": enclosing})
+                walk(child, enclosing)
+            else:
+                walk(child, enclosing)
+
+    walk(tree, "")
+    return _dedupe(mentions)
+
+
+# ---------------------------------------------------------------------------
+# Triple materialization rule (shared; pure mapping of mention → s/p/o).
+# north_star shapes: (file, IMPORTS, module), (repo, DEFINES, symbol),
+# (symbol, CALLS, symbol), (file, MENTIONS, entity).
+# ---------------------------------------------------------------------------
+PRED_BY_KIND = {"import": "IMPORTS", "def": "DEFINES",
+                "call": "CALLS", "doc_entity": "MENTIONS"}
+
+
+def triple_for(repo: str, path: str, kind: str, name: str, enclosing: str) -> tuple[str, str, str]:
+    file_ref = f"{repo}/{path}"
+    if kind == "import":
+        return (file_ref, "IMPORTS", name)
+    if kind == "def":
+        return (repo, "DEFINES", name)
+    if kind == "call":
+        subj = f"{file_ref}::{enclosing}" if enclosing else file_ref
+        return (subj, "CALLS", name)
+    return (file_ref, "MENTIONS", name)

@@ -1,0 +1,178 @@
+"""Vectorized mention extraction — the engine layer as ONE mapInPandas stage.
+
+Replaces the reference's 24 converter engines + dispatcher + retry driver
+(/root/reference/src/smart_pdf_md/core.py:277-1074) with a single
+Arrow-batched stage (SURVEY.md §2.6 mapping). Per batch of file rows it:
+
+1. routes (AST for parseable python, regex otherwise — SyntaxError falls back
+   to regex, recorded as ``route_used='regex_fallback'``; analogue of the
+   borb→pypdf / unopenable-PDF fallbacks, core.py:795-797, 1041-1048);
+2. chunks oversized regex-route files into line ranges with geometric backoff
+   (R1: the ``--slice`` loop, core.py:1036-1074 — on failure the chunk halves
+   and the SAME start retries; at the floor the file gets status
+   'backoff_exhausted', the rc-2 analogue);
+3. never raises (R3 crash isolation, core.py:1153-1155): failures become
+   ``(status, rc)`` columns per file;
+4. re-verifies the sha256 lineage invariant against the ingest column.
+
+Fault injection (analogue of SMART_PDF_MD_MARKER_MOCK_FAIL*, core.py:38-44):
+- ``KG_MOCK_FAIL=1`` → raise on content containing the poison marker;
+- ``KG_MOCK_FAIL_IF_CHUNK_GT=n`` → any chunk larger than n lines fails,
+  forcing the backoff path.
+
+Scale notes: the stage is embarrassingly parallel per file; the pipeline
+repartitions on ``xxhash64(file_id)`` beforehand so a mega-repo cannot pin
+one task (J5). ``content`` enters this stage and never leaves it — only
+``content_sha256`` survives (column-pruning discipline, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.patterns import (
+    assign_enclosing,
+    dedupe_mentions,
+    extract_ast_mentions,
+    extract_regex_mentions,
+)
+
+POISON_MARKER = "__KG_POISON__"
+DEFAULT_CHUNK_LINES = 1500
+MIN_CHUNK_LINES = 100
+
+FILE_MARKER = "__file__"  # kind value for per-file status rows
+
+MENTION_SCHEMA = (
+    "file_id string, repo string, path string, commit string, lang string, "
+    "content_sha256 string, sha_match boolean, route_used string, "
+    "kind string, name string, qualifier string, line int, enclosing string, "
+    "status string, rc int"
+)
+
+# status → rc taxonomy (SURVEY.md §2.7 exit-code contract)
+RC_OK = 0
+RC_EMPTY = 1               # no input (missing-input rc 1)
+RC_BACKOFF_EXHAUSTED = 2   # min-slice failure rc 2
+RC_UNSUPPORTED = 4         # missing engine dependency rc 4
+RC_ERROR = 9               # unhandled per-file error rc 9
+
+
+class _MockChunkFailure(Exception):
+    pass
+
+
+def _chunked_regex(content: str, lang: str, chunk_lines: int,
+                   fail_if_gt: int | None) -> list[dict] | None:
+    """R1 slice loop. Returns None when backoff is exhausted (rc 2)."""
+    lines = content.split("\n")
+    total = len(lines)
+    start, cur = 0, chunk_lines
+    out: list[dict] = []
+    while start < total:
+        end = min(start + cur, total)
+        try:
+            if fail_if_gt is not None and (end - start) > fail_if_gt:
+                raise _MockChunkFailure()
+            out.extend(
+                extract_regex_mentions("\n".join(lines[start:end]), lang,
+                                       line_offset=start)
+            )
+            start = end  # success advances; cur keeps its (possibly reduced) size
+        except _MockChunkFailure:
+            if cur <= MIN_CHUNK_LINES:
+                return None
+            cur = max(MIN_CHUNK_LINES, cur // 2)  # halve, retry same start
+    # chunk-local enclosing is wrong across boundaries — recompute globally
+    return dedupe_mentions(assign_enclosing(out))
+
+
+def _extract_one(row, chunk_lines: int, mock_fail: bool,
+                 fail_if_gt: int | None) -> tuple[list[dict], str, str, int]:
+    """→ (mentions, route_used, status, rc). Never raises."""
+    content, route, lang = row.content, row.route, row.lang
+    if route == "skip":
+        if not content:
+            return [], "skip", "empty", RC_EMPTY
+        return [], "skip", "unsupported_lang", RC_UNSUPPORTED
+    try:
+        if mock_fail and POISON_MARKER in content:
+            raise RuntimeError("mock poison failure")
+        route_used = route
+        raw: list[dict] | None = None
+        if route == "ast":
+            try:
+                raw = extract_ast_mentions(content)
+            except SyntaxError:
+                route_used = "regex_fallback"
+        if raw is None:  # regex route or AST fallback
+            if content.count("\n") + 1 > chunk_lines:
+                raw = _chunked_regex(content, lang, chunk_lines, fail_if_gt)
+                if raw is None:
+                    return [], route_used, "backoff_exhausted", RC_BACKOFF_EXHAUSTED
+            else:
+                if fail_if_gt is not None and content.count("\n") + 1 > fail_if_gt:
+                    return [], route_used, "backoff_exhausted", RC_BACKOFF_EXHAUSTED
+                raw = extract_regex_mentions(content, lang)
+        return raw, route_used, "ok", RC_OK
+    except Exception:
+        return [], route, "error", RC_ERROR
+
+
+def extract_mentions(routed: DataFrame,
+                     chunk_lines: int = DEFAULT_CHUNK_LINES) -> DataFrame:
+    """routed(file_id.., route, content) → mention rows + per-file status rows.
+
+    Output contains one ``kind='__file__'`` row per input file (the status
+    channel) plus one row per mention. Use :func:`mentions_only` /
+    :func:`file_status` to split.
+    """
+
+    # Mock knobs are read on the DRIVER at plan-build time and captured in
+    # the closure (Python workers are long-lived and reused, so executor-side
+    # os.environ reads would see a stale environment).
+    mock_fail = os.environ.get("KG_MOCK_FAIL", "") == "1"
+    gt = os.environ.get("KG_MOCK_FAIL_IF_CHUNK_GT", "")
+    fail_if_gt = int(gt) if gt else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
+                base = {
+                    "file_id": row.file_id, "repo": row.repo, "path": row.path,
+                    "commit": row.commit, "lang": row.lang,
+                    "content_sha256": row.content_sha256,
+                    "sha_match": sha == row.content_sha256,
+                }
+                mentions, route_used, status, rc = _extract_one(
+                    row, chunk_lines, mock_fail, fail_if_gt)
+                out.append({**base, "route_used": route_used, "kind": FILE_MARKER,
+                            "name": "", "qualifier": "", "line": 0,
+                            "enclosing": "", "status": status, "rc": rc})
+                for m in mentions:
+                    out.append({**base, "route_used": route_used, **m,
+                                "status": "ok", "rc": RC_OK})
+            yield pd.DataFrame(out, columns=[
+                "file_id", "repo", "path", "commit", "lang", "content_sha256",
+                "sha_match", "route_used", "kind", "name", "qualifier", "line",
+                "enclosing", "status", "rc"])
+
+    return routed.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def mentions_only(extracted: DataFrame) -> DataFrame:
+    return extracted.filter(F.col("kind") != FILE_MARKER)
+
+
+def file_status(extracted: DataFrame) -> DataFrame:
+    return extracted.filter(F.col("kind") == FILE_MARKER).select(
+        "file_id", "repo", "path", "lang", "content_sha256", "sha_match",
+        "route_used", "status", "rc")

@@ -1,0 +1,128 @@
+"""End-to-end KG-construction plan.
+
+The reference's whole execution engine is a sequential for-loop
+(scan → filter → route → convert → write → summarize,
+/root/reference/src/smart_pdf_md/cli.py:596-613). Here it is ONE lazy
+DataFrame DAG (SURVEY.md §3.3):
+
+    repo_files → identity cols → include/exclude globs → routing
+      → repartition(xxhash64(file_id))        # skew: mega-repo spread (J5)
+      → mapInPandas extraction                # engine layer, Arrow-batched
+      → triple materialization (pure Column exprs, codegen'd)
+      → [linking + canonicalization, operators/linking.py + cc.py]
+      → sink
+
+Only `content_sha256` survives past extraction; `content` is pruned inside
+the Arrow stage (never shuffled). The run summary (A1/A2) is a single agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_mentions, file_status, mentions_only
+from ..operators.routing import route_col, textuality_cols
+from ..sources.tables import path_filter, with_identity
+
+
+def triples_from_mentions(mentions: DataFrame) -> DataFrame:
+    """Mention rows → (subj, pred, obj) with lineage. Pure Column exprs —
+    whole-stage codegen, no Python. Mapping per functions/patterns.triple_for:
+    (file, IMPORTS, module) · (repo, DEFINES, symbol) ·
+    (file::enclosing | file, CALLS, symbol) · (file, MENTIONS, entity)."""
+    file_ref = F.concat_ws("/", F.col("repo"), F.col("path"))
+    subj = (
+        F.when(F.col("kind") == "def", F.col("repo"))
+        .when(
+            (F.col("kind") == "call") & (F.col("enclosing") != ""),
+            F.concat(file_ref, F.lit("::"), F.col("enclosing")),
+        )
+        .otherwise(file_ref)
+    )
+    pred = (
+        F.when(F.col("kind") == "import", F.lit("IMPORTS"))
+        .when(F.col("kind") == "def", F.lit("DEFINES"))
+        .when(F.col("kind") == "call", F.lit("CALLS"))
+        .otherwise(F.lit("MENTIONS"))
+    )
+    return (
+        mentions.select(
+            subj.alias("subj"),
+            pred.alias("pred"),
+            F.col("name").alias("obj"),
+            F.col("file_id"),
+            F.col("repo"),
+            F.col("content_sha256"),
+            F.lit(1.0).alias("conf"),
+        )
+        # deterministic exact dedup (a file can mention the same fact on many
+        # lines); keyed distinct, not dropDuplicates-on-subset, so the result
+        # is parallelism-invariant
+        .distinct()
+    )
+
+
+def run_summary(status: DataFrame) -> DataFrame:
+    """A1/A2: totals + failures + worst rc. The reference reports the FIRST
+    non-zero rc in scan order (cli.py:609-612) — scan order does not exist on
+    a cluster, so the deterministic equivalent is min_by over the stable sort
+    key (repo, path)."""
+    return status.agg(
+        F.count("*").alias("total"),
+        F.coalesce(F.sum(F.when(F.col("rc") != 0, 1).otherwise(0)),
+                   F.lit(0)).alias("failures"),
+        F.coalesce(
+            F.min_by(
+                F.when(F.col("rc") != 0, F.col("rc")),
+                F.when(F.col("rc") != 0, F.concat_ws("/", "repo", "path")),
+            ),
+            F.lit(0),
+        ).alias("first_nonzero_rc"),
+    )
+
+
+def build_mentions(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    forced_route: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """repo_files → extracted (mentions + status rows, union'd)."""
+    n = partitions or spark.sparkContext.defaultParallelism
+    df = with_identity(repo_files)
+    df = path_filter(df, include, exclude)
+    df = textuality_cols(df)
+    df = route_col(df, forced_route)
+    # Skew discipline (J5): hash-repartition on file identity so one
+    # mega-repo (40% of the corpus in the fixture) spreads across all tasks
+    # instead of pinning one. xxhash64 is uniform regardless of repo skew.
+    df = df.repartition(n, F.xxhash64("file_id"))
+    df = df.select("file_id", "repo", "path", "commit", "lang",
+                   "content_sha256", "route", "content")
+    return extract_mentions(df)
+
+
+def build_triples(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    forced_route: str | None = None,
+    partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Full plan; returns the interesting intermediate DataFrames (all lazy)."""
+    extracted = build_mentions(spark, repo_files, include, exclude,
+                               forced_route, partitions)
+    mentions = mentions_only(extracted)
+    status = file_status(extracted)
+    triples = triples_from_mentions(mentions)
+    return {
+        "extracted": extracted,
+        "mentions": mentions,
+        "status": status,
+        "triples": triples,
+        "summary": run_summary(status),
+    }

@@ -1,0 +1,63 @@
+"""SparkSession construction tuned for the KG-construction workload.
+
+Local mode is the sandbox; the conf set is chosen so the same code is correct
+and fast on a 1000-executor cluster:
+
+- AQE on (coalesce + skew-join split) — the runtime answer to mega-repo skew
+  (reference analogue: the adaptive slice backoff, core.py:1036-1074).
+- Arrow on — every Python-side stage is a vectorized pandas UDF.
+- UTC session timezone — required for bitwise-stable comparison against the
+  DuckDB oracle.
+- shuffle partitions sized to cores locally; on a real cluster AQE coalesces
+  from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "smart_pdf_md_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    # Make this package importable by the Python workers regardless of the
+    # driver's cwd (local-mode analogue of `spark-submit --py-files`): the
+    # worker daemon inherits PYTHONPATH from the driver process environment.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # local[N] → N matters for shuffle sizing; on a cluster leave it higher
+    # and let AQE coalesce down.
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("", "*") else max(int(n), 4)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # parquet scans: keep splits reasonable for wide `content` rows
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
