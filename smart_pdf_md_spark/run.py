@@ -1,0 +1,95 @@
+"""CLI driver — the `spark-submit --py-files` entry point.
+
+Replaces the reference's argparse CLI (/root/reference/src/smart_pdf_md/
+cli.py:47-355) with the handful of options that survive the Spark mapping
+(engines/slices/env plumbing dissolve into the plan; include/exclude globs,
+outdir, dry-run, and resume survive).
+
+    spark-submit --py-files smart_pdf_md_spark.zip -m smart_pdf_md_spark.run \
+        --corpus /path/repo_files.parquet --run-dir /path/run --out /path/out
+
+Sandbox usage (no cluster): --master local[N] --corpus-size N generates the
+deterministic corpus in-flight. Exit codes follow the reference contract
+(SURVEY.md §2.7): 0 ok · 1 no input rows · 2 usage · first non-zero file rc
+otherwise (A2 semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="smart-pdf-md-spark")
+    ap.add_argument("--corpus", help="repo_files parquet path or Iceberg table")
+    ap.add_argument("--corpus-size", type=int,
+                    help="generate the deterministic corpus with N files instead")
+    ap.add_argument("--run-dir", required=True, help="stage commit/resume dir")
+    ap.add_argument("--out", help="final triples parquet (default: run-dir stage)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--include", action="append", default=None)
+    ap.add_argument("--exclude", action="append", default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--link-threshold", type=float, default=0.60)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="build + explain the plan, execute nothing (R5)")
+    ap.add_argument("--summary-json", help="write run summary JSON here")
+    args = ap.parse_args(argv)
+
+    if not args.corpus and not args.corpus_size:
+        ap.print_usage(sys.stderr)
+        return 2
+
+    from .corpus import corpus_df
+    from .plans.driver import run_kg
+    from .plans.pipeline import build_triples
+    from .session import build_session
+    from .sources.tables import load_repo_files, write_triples
+
+    spark = build_session(app_name="kg-run", master=args.master)
+    t0 = time.perf_counter()
+    try:
+        repo_files = (
+            corpus_df(spark, args.corpus_size)
+            if args.corpus_size
+            else load_repo_files(spark, args.corpus)
+        )
+        if args.dry_run:
+            plan = build_triples(spark, repo_files, args.include, args.exclude,
+                                 partitions=args.partitions)
+            plan["triples"].explain("formatted")
+            return 0
+
+        result = run_kg(spark, repo_files, args.run_dir, args.include,
+                        args.exclude, args.link_threshold, args.partitions)
+        from .plans.pipeline import run_summary
+        s = run_summary(result["status"]).collect()[0]
+        n_triples = result["triples_canonical"].count()
+        if args.out:
+            write_triples(result["triples_canonical"], args.out)
+        elapsed = time.perf_counter() - t0
+        payload = {
+            "total": s.total,
+            "failures": s.failures,
+            "first_nonzero_rc": s.first_nonzero_rc,
+            "triples": n_triples,
+            "elapsed_sec": round(elapsed, 3),
+            "triples_per_sec": round(n_triples / elapsed, 2),
+            "resumed": result["resumed"],
+        }
+        print(json.dumps(payload))
+        if args.summary_json:
+            with open(args.summary_json, "w") as f:
+                json.dump(payload, f)
+        if s.total == 0:
+            return 1
+        return int(s.first_nonzero_rc) if s.failures else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

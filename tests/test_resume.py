@@ -1,0 +1,86 @@
+"""M4: per-stage manifest commits, kill/resume, file-level incremental (J4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from smart_pdf_md_spark.plans.driver import extract_incremental, run_kg
+from smart_pdf_md_spark.plans.manifests import (
+    read_manifest,
+    read_stage,
+    stage_committed,
+)
+
+
+@pytest.fixture()
+def run_dir(tmp_path):
+    return str(tmp_path / "run")
+
+
+def _data_files(run_dir: str, stage: str) -> dict[str, float]:
+    d = os.path.join(run_dir, stage, "data")
+    return {f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_full_run_commits_all_stages(spark, corpus_sdf, run_dir):
+    res = run_kg(spark, corpus_sdf, run_dir)
+    for stage in ("mentions", "triples", "edges", "entities", "triples_canonical"):
+        assert stage_committed(run_dir, stage), stage
+        m = read_manifest(spark, run_dir, stage).toPandas()
+        assert m["row_count"].sum() == read_stage(spark, run_dir, stage).count()
+        assert (m["stage"] == stage).all()
+    assert not any(res["resumed"].values())
+
+
+def test_killed_run_resumes_without_recompute(spark, corpus_sdf, run_dir):
+    run_kg(spark, corpus_sdf, run_dir)
+    # simulate a kill after 'edges': drop the later stages' commits
+    for stage in ("entities", "triples_canonical"):
+        shutil.rmtree(os.path.join(run_dir, stage))
+    before = {s: _data_files(run_dir, s) for s in ("mentions", "triples", "edges")}
+    res = run_kg(spark, corpus_sdf, run_dir)
+    after = {s: _data_files(run_dir, s) for s in ("mentions", "triples", "edges")}
+    assert before == after, "committed stages were rewritten"
+    assert res["resumed"] == {"mentions": True, "triples": True, "edges": True,
+                              "entities": False, "triples_canonical": False}
+    assert stage_committed(run_dir, "triples_canonical")
+
+
+def test_uncommitted_stage_recomputes(spark, corpus_sdf, run_dir):
+    """Kill BETWEEN data write and marker write → stage must recompute."""
+    run_kg(spark, corpus_sdf, run_dir)
+    os.remove(os.path.join(run_dir, "entities", "_COMMITTED"))
+    res = run_kg(spark, corpus_sdf, run_dir)
+    assert res["resumed"]["entities"] is False
+    assert stage_committed(run_dir, "entities")
+
+
+def test_incremental_extraction_anti_join(spark, corpus_sdf, run_dir, monkeypatch):
+    """J4: already-committed files are NOT re-extracted. Proof: commit half
+    the corpus (incl. the poison rows) clean, then poison the extractor for
+    the second pass — poison rows must stay ok because they never re-run."""
+    half_a = corpus_sdf.filter("path like 'src/%' or path like 'docs/%' or path like 'big/%'")
+    m1, n1 = extract_incremental(spark, half_a, run_dir)
+    assert n1 == half_a.count()
+
+    monkeypatch.setenv("KG_MOCK_FAIL", "1")
+    m2, n2 = extract_incremental(spark, corpus_sdf, run_dir)
+    total = corpus_sdf.count()
+    assert n2 == total - n1  # only pending files processed
+    st = m2.filter("kind = '__file__'").toPandas()
+    poison = st[st["path"].str.startswith("src/poison")]
+    assert len(poison) == 3 and (poison["status"] == "ok").all(), \
+        "committed poison rows were recomputed"
+    assert set(st["file_id"]) == {
+        r.file_id for r in
+        __import__("smart_pdf_md_spark.sources.tables", fromlist=["with_identity"])
+        .with_identity(corpus_sdf).select("file_id").collect()
+    }
+
+    # third pass: nothing pending
+    m3, n3 = extract_incremental(spark, corpus_sdf, run_dir)
+    assert n3 == 0
