@@ -1,0 +1,122 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; the KG pipeline runs over the deterministic
+built-in corpus (KG_BENCH_FILES files, written once to .bench/ and re-read
+from parquet so the measured path is scan→extract→link→canonicalize, not
+generation).
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "kg": {"files": N, "triples": N, "elapsed_sec": s,
+                "triples_per_sec": r}}
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md (separate JVMs per level).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_BENCH_FILES = int(os.environ.get("KG_BENCH_FILES", "200000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_broadcast_join",
+    "j4_anti_join",
+    "w1_topk_per_group",
+    "w3_sessionize",
+    "events_tumbling_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def _materialize(df) -> None:
+    # noop sink: full materialization of every column, no driver collect
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_corpus(spark, n: int):
+    """Generate-once, read-from-parquet corpus (scan realism + generation
+    excluded from timing)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench", f"corpus_{n}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from smart_pdf_md_spark.corpus import corpus_df
+        corpus_df(spark, n, partitions=256).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> int:
+    import __spark_entry__ as em
+    from smart_pdf_md_spark.operators.cc import canonical_triples, entity_table
+    from smart_pdf_md_spark.operators.linking import link_edges
+    from smart_pdf_md_spark.session import build_session
+
+    spark = build_session(app_name="kg-bench", master=f"local[{CPUS}]")
+    qs = em.queries()
+    # warmup: JVM classloading + codegen paths, so q1 isn't charged for it
+    _materialize(qs["q1_pricing_summary"](spark, SF_DIR))
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput (the north-rule metric). Plan shape matters:
+    # mentions persisted columnar with pruned columns (multiple consumers),
+    # vocabulary computed once and shared, single distinct at the sink.
+    from smart_pdf_md_spark.operators.linking import checkpointed_vocabulary
+    from smart_pdf_md_spark.plans.pipeline import build_mentions, triples_from_mentions
+    from smart_pdf_md_spark.operators.extract import mentions_only
+
+    corpus = _bench_corpus(spark, KG_BENCH_FILES)
+    need = ["file_id", "repo", "path", "kind", "name", "enclosing", "content_sha256"]
+    t0 = time.perf_counter()
+    mentions = mentions_only(build_mentions(spark, corpus)).select(*need).persist()
+    mentions.count()
+    names = checkpointed_vocabulary(mentions)
+    ents = entity_table(mentions, link_edges(mentions, names=names), names=names)
+    canon = canonical_triples(triples_from_mentions(mentions, distinct=False), ents)
+    n_triples = canon.count()
+    kg_elapsed = time.perf_counter() - t0
+    mentions.unpersist()
+    timings["kg_pipeline"] = round(kg_elapsed, 3)
+
+    total = round(time.perf_counter() - t_total0, 3)
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "kg": {
+            "files": KG_BENCH_FILES,
+            "triples": n_triples,
+            "elapsed_sec": round(kg_elapsed, 3),
+            "triples_per_sec": round(n_triples / kg_elapsed, 1),
+        },
+        "cpus": CPUS,
+    }
+    print(json.dumps(payload))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

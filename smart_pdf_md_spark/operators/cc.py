@@ -30,17 +30,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Isolated nodes are the caller's concern (left-join the result and
     coalesce to the node itself) — keeps the iteration state minimal.
     """
+    # iteration state is edge/vocabulary-sized: keep its partition count
+    # proportional (empty 32-way partitions would pay per-task overhead on
+    # every one of the O(diameter) rounds)
+    p = max(edges.sparkSession.sparkContext.defaultParallelism // 4, 1)
     sym = edges.select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
     ).union(
         edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.coalesce(p).localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("name"))
         .distinct()
         .withColumn("component", F.col("name"))
+        .coalesce(p)
         .localCheckpoint(eager=True)
     )
 
@@ -61,7 +66,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)  # cut lineage; one action per round
+        ).coalesce(p).localCheckpoint(eager=True)  # cut lineage; one action per round
         n_changed = new_labels.filter(F.col("changed") == True).count()  # noqa: E712
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -69,16 +74,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def entity_table(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+def entity_table(mentions: DataFrame, edges: DataFrame,
+                 names: DataFrame | None = None) -> DataFrame:
     """→ entities(name, canonical_name, entity_id, component_size).
 
     Every vocabulary name appears exactly once; singletons canonicalize to
     themselves. entity_id = sha256(canonical_name) prefix — content-derived,
-    stable across runs and parallelism levels.
+    stable across runs and parallelism levels. Pass the same checkpointed
+    vocabulary given to link_edges to avoid recomputing the extraction.
     """
-    from .linking import name_vocabulary
+    from .linking import checkpointed_vocabulary
 
-    vocab = name_vocabulary(mentions)
+    vocab = names if names is not None else checkpointed_vocabulary(mentions)
     comps = connected_components(edges)
     return (
         vocab.join(comps, "name", "left")

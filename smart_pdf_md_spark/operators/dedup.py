@@ -1,0 +1,211 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Five strategies, cheapest→richest; each keeps the Spark-first discipline
+(set-based DataFrame ops, broadcast/shuffle visible to Catalyst, content-
+derived deterministic winners — never "first row wins"):
+
+- exact       sha256 groupBy; scales trivially (one shuffle on the hash).
+- ngram-jaccard  token-shingle self-join; exact Jaccard, bounded by shingle
+                 postings (rare shingles dropped caps the join fanout).
+- minhash-lsh   reuses operators/linking.py banding (signatures once per
+                 doc, pairs only within band buckets) — the 100 TB path.
+- simhash     64-bit near-dup signature via md5-derived bit votes; hamming
+              buckets by 16-bit bands.
+- embedding-cosine  near-dup in vector space over `embeddings`.
+
+The vendored-duplicate corpus fixture (FIXTURES.md: identical files across
+≥5 repos) plus the driver `documents` table are the test surfaces.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textstats import tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content; keeper = min id (deterministic)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_posting: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join.
+
+    Shared-shingle counting gives |A∩B|; set sizes give the union. Postings
+    longer than `max_posting` (boilerplate shingles) are dropped — at corpus
+    scale a single hot shingle otherwise quadratically explodes the join
+    (the skew lesson of J5 applied to dedup)."""
+    sh = _shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    postings = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
+    sh = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),
+                 "shingle", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")) + 1e-9, 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.7) -> DataFrame:
+    """MinHash+LSH near-dup candidates rescored by exact Jaccard — the scale
+    path (signatures are one Arrow pass; banding bounds the join).
+
+    Reuses the linking minhash over token 3-gram shingle strings by hashing
+    each document's shingle set instead of a name's char-ngrams."""
+    from .linking import _A, _B, _MERSENNE, N_BANDS, N_PERM
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def doc_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            grams = {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                                "big") & ((1 << 61) - 1) for g in grams),
+                dtype=np.int64, count=len(grams))
+            perm = (hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+            out.append(perm.min(axis=0).tolist())
+        return pd.Series(out)
+
+    r = N_PERM // N_BANDS
+    sigs = df.select(F.col(id_col).alias("id"), doc_sig(F.col(text_col)).alias("sig"))
+    bands = sigs.select(
+        "id", "sig",
+        F.posexplode(F.array(*[F.slice("sig", i * r + 1, r) for i in range(N_BANDS)]))
+        .alias("band", "band_sig"),
+    ).withColumn("band_hash", F.xxhash64("band", "band_sig")).select("id", "sig", "band", "band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_hash"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # estimated Jaccard = fraction of matching signature slots
+    est = F.size(F.zip_with("sig_a", "sig_b",
+                            lambda x, y: F.when(x == y, 1))) - \
+        F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                   lambda x, y: F.when(x == y, 1)),
+                        lambda v: v.isNull()))
+    return (cand.withColumn("est_jaccard", F.round(est / F.lit(N_PERM), 4))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via one Arrow pass (numpy bit votes: each
+    distinct token votes ±1 on its md5-derived bits; the signature is the
+    sign vector), plus 4×16-bit band columns for hamming-bucketed joins."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = set((t or "").split())
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+    for i in range(4):
+        sig = sig.withColumn(
+            f"band{i}",
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return sig
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs: candidates share a 16-bit band (pigeonhole: hamming ≤ 3
+    guarantees a shared band; wider distances are best-effort), verified by
+    exact popcount hamming distance."""
+    sig = simhash_signatures(df, text_col, id_col)
+    pairs = None
+    for i in range(4):
+        a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"),
+                       F.col(f"band{i}").alias("band"))
+        b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
+                       F.col(f"band{i}").alias("band"))
+        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b", "h_a", "h_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) self-join — correct baseline; the ANN variant in
+    operators/similarity.py is the at-scale path (bucketed so the join is
+    |bucket|² not n²)."""
+    vec = F.col(vec_col).cast("array<double>")  # float64 for oracle parity
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(dot / (F.col("a.nrm") * F.col("b.nrm")) + 1e-9, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -157,14 +157,31 @@ def score_pairs(pairs: DataFrame, weights: DataFrame,
     return dots.filter(F.col("cos") >= threshold)
 
 
+def checkpointed_vocabulary(mentions: DataFrame,
+                            partitions: int | None = None) -> DataFrame:
+    """Vocabulary distinct, coalesced + checkpointed.
+
+    Two deliberate scale moves: (1) the distinct cuts the data volume from
+    mention-stream to vocabulary size BEFORE any quadratic-ish work; (2) the
+    localCheckpoint cuts lineage so the (expensive) extraction stage is never
+    re-run by the several downstream consumers, and the coalesce keeps the
+    checkpoint partition count proportional to the data (hundreds of
+    vocabulary rows per partition, not 256 near-empty blocks whose per-task
+    overhead dominates every rescan)."""
+    spark = mentions.sparkSession
+    p = partitions or max(spark.sparkContext.defaultParallelism // 4, 1)
+    return name_vocabulary(mentions).coalesce(p).localCheckpoint(eager=True)
+
+
 def link_edges(mentions: DataFrame,
-               threshold: float = DEFAULT_COSINE_THRESHOLD) -> DataFrame:
-    """mentions → similarity edges over the name vocabulary."""
-    names = name_vocabulary(mentions)
-    names.persist()
-    try:
-        pairs = candidate_pairs(names)
-        weights = ngram_tfidf(names)
-        return score_pairs(pairs, weights, threshold)
-    finally:
-        pass  # caller controls unpersist after the action
+               threshold: float = DEFAULT_COSINE_THRESHOLD,
+               names: DataFrame | None = None) -> DataFrame:
+    """mentions → similarity edges over the name vocabulary.
+
+    Pass a pre-built ``checkpointed_vocabulary`` when the caller also needs
+    the vocabulary (e.g. entity_table) so it is computed exactly once."""
+    if names is None:
+        names = checkpointed_vocabulary(mentions)
+    pairs = candidate_pairs(names)
+    weights = ngram_tfidf(names)
+    return score_pairs(pairs, weights, threshold)

@@ -1,0 +1,92 @@
+"""Text-analysis operators for a training-data pipeline (SURVEY.md-adjacent:
+these generalize the reference's per-page textual heuristic, core.py:252-274,
+into corpus-level quality signals).
+
+All pure Column expressions — whole-stage codegen, zero Python — and each is
+deliberately expressible in ANSI SQL so the DuckDB oracle can verify it
+bit-for-bit (`__spark_entry__.py`). At 100 TB these run inside the scan
+stage: no shuffle, no UDF, filters push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny English stopword profile for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token + character accounting per document."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_chars_nows"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: length saturation + non-punct ratio
+    + stopword ratio (each in [0,1], weighted 0.4/0.3/0.3, rounded)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+        / n_tok.cast("double")
+    )
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(punct / n.cast("double"))
+    len_sat = F.least(n / F.lit(500.0), F.lit(1.0))
+    score = 0.4 * len_sat + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+    return df.select(
+        "doc_id",
+        F.round(stop_ratio + 1e-9, 4).alias("stop_ratio"),
+        F.round(punct_ratio + 1e-9, 4).alias("punct_ratio"),
+        F.round(score + 1e-9, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            threshold: float = 0.15) -> DataFrame:
+    """Stopword-profile language heuristic: English iff the EN-stopword token
+    ratio clears the threshold. (A real system plugs in per-lang char-ngram
+    profiles; the operator shape — pure scan-side scoring — is the point.)"""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+        / n_tok.cast("double")
+    )
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.round(ratio + 1e-9, 4).alias("en_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: lexicographic min over md5(token 3-gram) — a
+    winnowing-style content signature that is stable under whitespace layout
+    and cheap to compare across engines (md5 hex is identical in Spark and
+    DuckDB). Documents shorter than n tokens fall back to md5(text)."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    fp = F.when(F.size(toks) < n, F.md5(F.col(text_col))).otherwise(
+        F.array_min(F.transform(grams, F.md5))
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

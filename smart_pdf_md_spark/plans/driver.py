@@ -51,14 +51,25 @@ def run_kg(
         spark, run_dir, "triples",
         lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
     )
+    # vocabulary computed at most once per run, shared by edges + entities
+    # (each stage reads the committed mentions parquet, so extraction is
+    # never recomputed; the vocab distinct is the only repeated scan)
+    _names_cache: list = []
+
+    def _names():
+        if not _names_cache:
+            from ..operators.linking import checkpointed_vocabulary
+            _names_cache.append(checkpointed_vocabulary(mentions))
+        return _names_cache[0]
+
     edges, resumed["edges"] = run_stage(
         spark, run_dir, "edges",
-        lambda: link_edges(mentions, link_threshold),
+        lambda: link_edges(mentions, link_threshold, names=_names()),
         ["name_a", "name_b"],
     )
     entities, resumed["entities"] = run_stage(
         spark, run_dir, "entities",
-        lambda: entity_table(mentions, edges),
+        lambda: entity_table(mentions, edges, names=_names()),
         ["name", "canonical_name"],
     )
     canonical, resumed["triples_canonical"] = run_stage(

@@ -26,7 +26,7 @@ from ..operators.routing import route_col, textuality_cols
 from ..sources.tables import path_filter, with_identity
 
 
-def triples_from_mentions(mentions: DataFrame) -> DataFrame:
+def triples_from_mentions(mentions: DataFrame, distinct: bool = True) -> DataFrame:
     """Mention rows → (subj, pred, obj) with lineage. Pure Column exprs —
     whole-stage codegen, no Python. Mapping per functions/patterns.triple_for:
     (file, IMPORTS, module) · (repo, DEFINES, symbol) ·
@@ -46,21 +46,20 @@ def triples_from_mentions(mentions: DataFrame) -> DataFrame:
         .when(F.col("kind") == "call", F.lit("CALLS"))
         .otherwise(F.lit("MENTIONS"))
     )
-    return (
-        mentions.select(
-            subj.alias("subj"),
-            pred.alias("pred"),
-            F.col("name").alias("obj"),
-            F.col("file_id"),
-            F.col("repo"),
-            F.col("content_sha256"),
-            F.lit(1.0).alias("conf"),
-        )
-        # deterministic exact dedup (a file can mention the same fact on many
-        # lines); keyed distinct, not dropDuplicates-on-subset, so the result
-        # is parallelism-invariant
-        .distinct()
+    out = mentions.select(
+        subj.alias("subj"),
+        pred.alias("pred"),
+        F.col("name").alias("obj"),
+        F.col("file_id"),
+        F.col("repo"),
+        F.col("content_sha256"),
+        F.lit(1.0).alias("conf"),
     )
+    # deterministic exact dedup (a file can mention the same fact on many
+    # lines); keyed distinct, not dropDuplicates-on-subset, so the result is
+    # parallelism-invariant. Callers that feed canonical_triples (which ends
+    # in its own distinct) pass distinct=False to save a full-data shuffle.
+    return out.distinct() if distinct else out
 
 
 def run_summary(status: DataFrame) -> DataFrame:
@@ -89,17 +88,32 @@ def build_mentions(
     exclude: list[str] | None = None,
     forced_route: str | None = None,
     partitions: int | None = None,
+    repartition: bool = False,
 ) -> DataFrame:
-    """repo_files → extracted (mentions + status rows, union'd)."""
-    n = partitions or spark.sparkContext.defaultParallelism
+    """repo_files → extracted (mentions + status rows, union'd).
+
+    Skew note (J5, deliberate): extraction is a per-file map, and parquet
+    scan splits are BYTE-balanced (`spark.sql.files.maxPartitionBytes`)
+    regardless of repo skew — a mega-repo cannot pin a task here, so the
+    default plan runs extraction scan-side with NO shuffle: `content` never
+    crosses the wire at all (at 100 TB that shuffle would dominate the job).
+    `repartition=True` adds a defensive `repartition(xxhash64(file_id))`
+    for non-splittable/skewed source layouts (e.g. one row group per
+    mega-repo); hash-of-file-id spreads uniformly no matter how skewed the
+    repo distribution is. Key-skew handling for the shuffling stages lives
+    where the shuffles are: linking bucket caps (operators/linking.py) and
+    AQE skew-join splitting (session.py).
+    """
     df = with_identity(repo_files)
     df = path_filter(df, include, exclude)
     df = textuality_cols(df)
     df = route_col(df, forced_route)
-    # Skew discipline (J5): hash-repartition on file identity so one
-    # mega-repo (40% of the corpus in the fixture) spreads across all tasks
-    # instead of pinning one. xxhash64 is uniform regardless of repo skew.
-    df = df.repartition(n, F.xxhash64("file_id"))
+    if repartition or partitions:
+        # 3× parallelism: extraction cost varies per file (giant files, AST
+        # vs regex), finer tasks smooth stragglers — the partition-level
+        # analogue of the reference's adaptive slice sizing (core.py:1055-1066)
+        n = partitions or spark.sparkContext.defaultParallelism * 3
+        df = df.repartition(n, F.xxhash64("file_id"))
     df = df.select("file_id", "repo", "path", "commit", "lang",
                    "content_sha256", "route", "content")
     return extract_mentions(df)

@@ -53,8 +53,14 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # parquet scans: keep splits reasonable for wide `content` rows
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing: extraction runs scan-side (no shuffle — see
+        # plans/pipeline.build_mentions), so scan splits ARE the extraction
+        # tasks. Parquet splits at row-group granularity; the sandbox writes
+        # small files, so pack small bins to keep all cores busy. On a real
+        # cluster with 128MB row groups, raise to 128-256MB via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"))
+        .config("spark.sql.files.openCostInBytes", "2097152")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

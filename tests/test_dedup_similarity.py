@@ -1,0 +1,95 @@
+"""Training-data operators: dedup (exact/jaccard/minhash/simhash/cosine),
+ANN similarity (brute-force vs LSH recall), multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_pdf_md_spark.operators import dedup as D
+from smart_pdf_md_spark.operators import multimodal as MM
+from smart_pdf_md_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark, corpus_sdf):
+    """The generated corpus reshaped as a documents-like table (vendored
+    duplicates are the planted exact-dup fixture)."""
+    df = corpus_sdf.select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+        "lang",
+        F.col("repo").alias("source"),
+    )
+    df.persist().count()
+    return df
+
+
+def test_exact_dedup_finds_vendored_duplicates(spark, corpus_sdf, corpus_docs):
+    dups = D.exact_dedup(corpus_docs).filter("n_copies > 1")
+    multi = {r.content_hash for r in dups.collect()}
+    # every vendored content that occurs >1× must surface as a dup group
+    vend_multi = {
+        r.h for r in corpus_sdf.filter("path LIKE 'vendor/lib/%'")
+        .groupBy(F.sha2("content", 256).alias("h"))
+        .agg(F.count("*").alias("n")).filter("n > 1").collect()
+    }
+    assert len(vend_multi) > 0
+    assert vend_multi <= multi
+
+
+def test_minhash_dedup_finds_exact_duplicates(spark, corpus_docs):
+    """Exact duplicates have identical signatures → est_jaccard = 1.0."""
+    pairs = D.minhash_dedup_pairs(corpus_docs.filter("length(text) > 0"),
+                                  threshold=0.99)
+    exact = D.exact_dedup(corpus_docs).filter("n_copies > 1")
+    n_dup_docs = exact.agg(F.sum("n_copies")).collect()[0][0] or 0
+    if n_dup_docs and n_dup_docs > 1:
+        assert pairs.count() > 0
+        assert pairs.filter("est_jaccard < 0.99").count() == 0
+
+
+def test_simhash_identical_zero_hamming(spark, corpus_docs):
+    pairs = D.simhash_pairs(corpus_docs.filter("length(text) > 0"),
+                            max_hamming=0)
+    # hamming 0 pairs must be (near-)identical texts: verify against exact dedup
+    exact_groups = D.exact_dedup(corpus_docs).filter("n_copies > 1").count()
+    if exact_groups:
+        assert pairs.count() > 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from smart_pdf_md_spark.sources.tables import load_table
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.topk_bruteforce(emb, queries, k=5)
+    # few planes, many tables: these synthetic embeddings are near-random
+    # (top-5 neighbors sit at ~70° angles), so narrow buckets kill recall
+    approx = SIM.topk_lsh(emb, queries, k=5, n_planes=3, n_tables=8)
+    rec = SIM.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.6, f"LSH recall too low: {rec}"
+    # exact search returns exactly k per query, ranked 1..k
+    counts = exact.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_multimodal_plumbing(spark):
+    from smart_pdf_md_spark.sources.tables import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media)
+    row = feats.first()
+    assert len(row.feature) == MM.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in row.feature)
+    # payload column is pruned from the output schema
+    assert "payload" not in feats.columns
+    # deterministic: same payload → same feature
+    f2 = MM.extract_features(media).first()
+    assert f2.feature == row.feature
+    # unstubbed decode raises exactly at the decode boundary
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.extract_features(media, decode_stub=False).first()
+    frames = MM.frame_sample_plan(media, every_n=10)
+    assert frames.count() >= docs.count()  # ≥1 frame per media row

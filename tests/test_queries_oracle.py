@@ -1,0 +1,82 @@
+"""M5: every `queries()` entry vs its DuckDB `oracle_sql()` — the same
+comparison the driver runs (row count + column names + order-insensitive
+value hash), at sf0.001 for speed. Rows-only entries are smoke-run."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, tuple)):
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        # normalize ints (spark int32 vs duckdb int64 etc.)
+        if str(s.dtype).startswith(("int", "uint", "Int")):
+            df[c] = s.astype("int64")
+        if str(s.dtype) == "float32":
+            df[c] = s.astype("float64")
+        if str(s.dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None) if s.dt.tz is not None else s
+        if s.dtype == object:
+            # decimal.Decimal (duckdb round) → float
+            import decimal
+            if len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, decimal.Decimal):
+                df[c] = s.astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    got = _canon(entrymod.queries()[name](spark, SF_DIR).toPandas())
+    want = _canon(ddb.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {f.name for f in df.schema.fields} == {
+        "label", "n_docs", "avg_quality", "avg_tokens", "n_langs", "exemplar_doc"}
