@@ -405,6 +405,78 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _s2_single_file(spark, sf):
+    # targeted re-run of one row (reference: single-file input, core.py:1102)
+    return _t(spark, sf, "documents").filter(F.col("doc_id") == 42) \
+        .select("doc_id", "lang", "n_chars")
+
+
+_S2_SQL = "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42"
+
+
+def _j5b_salted_agg(spark, sf):
+    from smart_pdf_md_spark.operators.skew import salted_agg
+    # two-phase salted aggregation over a skewed key; result identical to a
+    # plain GROUP BY (the salt only reshapes the shuffle)
+    return salted_agg(_t(spark, sf, "events"), "event_type", "value",
+                      salt_cols=["event_id"])
+
+
+_J5B_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def _t1_grouped_zscore(spark, sf):
+    return TS.grouped_zscore(_t(spark, sf, "documents"))
+
+
+_T1_SQL = """
+SELECT doc_id, lang,
+       round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                  THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                       / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                  ELSE 0.0 END + 1e-9, 4) AS zscore
+FROM documents
+"""
+
+
+def _f1_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+_F1_SQL = ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+           "AS k_val FROM events")
+
+
+def _f2_string_funcs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    # stem/extension-style manipulation (SURVEY §2.8: core.py:204,293-295)
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 12).alias("prefix12"),
+        F.concat_ws("/", "source", "lang").alias("source_lang"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("source_num"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+    )
+
+
+_F2_SQL = """
+SELECT doc_id, upper(lang) AS lang_upper, substring(text, 1, 12) AS prefix12,
+       concat_ws('/', source, lang) AS source_lang,
+       CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS source_num,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_tr
+FROM documents
+"""
+
+
 def _dedup_exact(spark, sf):
     return D.exact_dedup(_t(spark, sf, "documents"))
 
@@ -679,6 +751,11 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
     "distinct_agg": (_distinct_agg, _DISTINCT_SQL),
     "events_tumbling_window": (_events_tumbling, _TUMBLING_SQL),
+    "f1_json_extract": (_f1_json_extract, _F1_SQL),
+    "f2_string_funcs": (_f2_string_funcs, _F2_SQL),
+    "s2_single_file": (_s2_single_file, _S2_SQL),
+    "j5b_salted_agg": (_j5b_salted_agg, _J5B_SQL),
+    "t1_grouped_zscore": (_t1_grouped_zscore, _T1_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (_dedup_cosine, _DEDUP_COSINE_SQL),

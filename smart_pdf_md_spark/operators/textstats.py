@@ -76,6 +76,30 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def grouped_zscore(df: DataFrame, group_col: str = "lang",
+                   value_col: str = "n_chars") -> DataFrame:
+    """Per-group z-score normalization via applyInPandas (grouped-map UDF —
+    the SURVEY §2.10 applyInPandas surface). The semantics are deliberately
+    SQL-expressible (population std over the group) so the DuckDB oracle can
+    verify the Arrow grouped-map machinery end-to-end."""
+    import pandas as pd
+
+    out_schema = f"doc_id long, {group_col} string, zscore double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=0)
+        z = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            group_col: pdf[group_col],
+            "zscore": (z + 1e-9).round(4),
+        })
+
+    return df.select("doc_id", group_col, value_col) \
+        .groupBy(group_col).applyInPandas(per_group, schema=out_schema)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: lexicographic min over md5(token 3-gram) — a
     winnowing-style content signature that is stable under whitespace layout

@@ -1,0 +1,67 @@
+"""Physical-plan audits (SURVEY.md §4.2): the properties that matter at
+100 TB, asserted so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as em
+from smart_pdf_md_spark.plans.pipeline import build_mentions
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_column_pushdown(spark):
+    p = _plan(em.queries()["s1_scan_project"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # projection pruned to exactly the 4 referenced columns at the scan
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_quantity" not in rs and "l_comment" not in rs
+
+
+def test_small_dim_join_is_broadcast(spark):
+    p = _plan(em.queries()["j1_broadcast_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_and_semi_joins(spark):
+    assert "LeftAnti" in _plan(em.queries()["j4_anti_join"](spark, SF))
+    assert "LeftSemi" in _plan(em.queries()["j5_semi_join"](spark, SF))
+
+
+def test_extraction_has_no_shuffle(spark, corpus_sdf):
+    """The engine stage is scan-side: content must never hit an Exchange."""
+    p = _plan(build_mentions(spark, corpus_sdf))
+    before_udf = p.split("MapInPandas")[0]
+    assert "Exchange" not in before_udf
+
+
+def test_aggregate_is_partial(spark):
+    """groupBy does map-side combine (two HashAggregate levels)."""
+    p = _plan(em.queries()["q1_pricing_summary"](spark, SF))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_canonical_entity_join_is_broadcast(spark, corpus_sdf):
+    from smart_pdf_md_spark.operators.cc import canonical_triples, entity_table
+    from smart_pdf_md_spark.operators.extract import mentions_only
+    from smart_pdf_md_spark.operators.linking import (
+        checkpointed_vocabulary,
+        link_edges,
+    )
+    from smart_pdf_md_spark.plans.pipeline import triples_from_mentions
+
+    m = mentions_only(build_mentions(spark, corpus_sdf)).localCheckpoint()
+    names = checkpointed_vocabulary(m)
+    ents = entity_table(m, link_edges(m, names=names), names=names)
+    canon = canonical_triples(triples_from_mentions(m, distinct=False), ents)
+    assert "BroadcastHashJoin" in _plan(canon)
