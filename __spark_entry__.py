@@ -240,14 +240,17 @@ FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 
 
 def _j4_anti(spark, sf):
+    # customers with no large order (non-empty at every sf, unlike the
+    # plain no-orders variant which is vacuous on this data)
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
         .select("c_custkey", "c_name")
 
 
 _J4_SQL = ("SELECT c_custkey, c_name FROM customer "
-           "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
+           "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+           "AND o_totalprice > 300000)")
 
 
 def _j5_semi(spark, sf):
