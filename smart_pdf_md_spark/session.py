@@ -51,7 +51,9 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only: give the single JVM real headroom so
+        # cached mentions + shuffle buffers never force GC churn/eviction
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # Scan-split sizing: extraction runs scan-side (no shuffle — see
         # plans/pipeline.build_mentions), so scan splits ARE the extraction
