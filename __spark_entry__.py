@@ -34,7 +34,37 @@ EN = TS.EN_STOPWORDS
 _EN_SQL = "[" + ", ".join(f"'{w}'" for w in EN) + "]"
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make smart_pdf_md_spark importable on the Python workers of ANY
+    SparkSession (the driver builds its own, possibly from another cwd):
+    zip the package once and addPyFile it — the runtime equivalent of
+    `spark-submit --py-files`. Idempotent per session."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "smart_pdf_md_spark")
+    zip_base = os.path.join(tempfile.gettempdir(), "smart_pdf_md_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir="smart_pdf_md_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or classic server restrictions — harmless
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return load_table(spark, sf_dir, name)
 
 
@@ -672,6 +702,7 @@ _KG_N = 300  # deterministic built-in corpus size for rows-only checks
 
 def _kg_corpus(spark):
     from smart_pdf_md_spark.corpus import corpus_df
+    _ensure_shipped(spark)
     return corpus_df(spark, _KG_N)
 
 

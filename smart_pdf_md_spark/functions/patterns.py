@@ -52,6 +52,20 @@ LANG_PATTERNS: list[dict] = [
     {"lang": "go", "kind": "call", "regex": r"(?<![\w.])([A-Za-z_]\w*)\s*\(", "priority": 0},
     # markdown: doc entities only
     {"lang": "markdown", "kind": "doc_entity", "regex": r"`([A-Za-z_][\w\.]*)`", "priority": 0},
+    # java
+    {"lang": "java", "kind": "import", "regex": r"^\s*import\s+(?:static\s+)?([\w\.]+?)(?:\.\*)?\s*;", "priority": 0},
+    {"lang": "java", "kind": "def", "regex": r"\b(?:class|interface|enum)\s+([A-Za-z_]\w*)", "priority": 0},
+    {"lang": "java", "kind": "call", "regex": r"(?<![\w.])([A-Za-z_]\w*)\s*\(", "priority": 0},
+    # rust
+    {"lang": "rust", "kind": "import", "regex": r"^\s*use\s+([\w:]+)", "priority": 0},
+    {"lang": "rust", "kind": "def", "regex": r"\bfn\s+([A-Za-z_]\w*)", "priority": 0},
+    {"lang": "rust", "kind": "def", "regex": r"\b(?:struct|enum|trait)\s+([A-Za-z_]\w*)", "priority": 1},
+    {"lang": "rust", "kind": "call", "regex": r"(?<![\w:.])([A-Za-z_]\w*)\s*\(", "priority": 0},
+    # ruby
+    {"lang": "ruby", "kind": "import", "regex": r"""^\s*require(?:_relative)?\s+['"]([^'"]+)['"]""", "priority": 0},
+    {"lang": "ruby", "kind": "def", "regex": r"^\s*def\s+([A-Za-z_]\w*[?!]?)", "priority": 0},
+    {"lang": "ruby", "kind": "def", "regex": r"^\s*class\s+([A-Z]\w*)", "priority": 1},
+    {"lang": "ruby", "kind": "call", "regex": r"(?<![\w.:])([a-z_]\w*)\s*\(", "priority": 0},
 ]
 
 SUPPORTED_LANGS = tuple(sorted({p["lang"] for p in LANG_PATTERNS}))
@@ -64,8 +78,15 @@ _CALL_STOPWORDS = {
                    "require", "import", "new", "typeof"},
     "go": {"func", "if", "for", "return", "switch", "make", "len", "cap", "new",
            "import", "package", "range"},
+    "java": {"if", "for", "while", "switch", "catch", "return", "new", "super",
+             "this", "class", "interface", "enum", "throw", "synchronized"},
+    "rust": {"fn", "if", "while", "for", "match", "return", "Some", "Ok", "Err",
+             "None", "loop", "unsafe"},
+    "ruby": {"def", "if", "while", "unless", "until", "case", "raise", "end",
+             "require", "require_relative", "lambda", "proc"},
 }
-_DEF_KEYWORD_BEFORE = re.compile(r"(?:\bdef|\bclass|\bfunction|\bfunc)\s+$")
+_DEF_KEYWORD_BEFORE = re.compile(
+    r"(?:\bdef|\bclass|\bfunction|\bfunc|\bfn|\binterface|\benum|\bstruct|\btrait)\s+$")
 
 _COMPILED: dict[str, list[tuple[str, re.Pattern]]] = {}
 

@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the extraction semantics layer —
+no Spark needed; these pin the invariants the distributed stages rely on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smart_pdf_md_spark.functions.patterns import (
+    SUPPORTED_LANGS,
+    assign_enclosing,
+    dedupe_mentions,
+    extract_regex_mentions,
+)
+from smart_pdf_md_spark.operators.extract import _chunked_regex
+
+text_like = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=2000,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(content=text_like, lang=st.sampled_from(SUPPORTED_LANGS))
+def test_regex_extraction_never_throws_and_lines_in_range(content, lang):
+    mentions = extract_regex_mentions(content, lang)
+    n_lines = content.count("\n") + 1
+    for m in mentions:
+        assert 1 <= m["line"] <= n_lines
+        assert m["kind"] in {"import", "def", "call", "doc_entity"}
+        assert m["name"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(content=text_like, lang=st.sampled_from(("python", "javascript", "go")),
+       chunk=st.integers(min_value=100, max_value=400))
+def test_chunked_equals_whole_file(content, lang, chunk):
+    """R1 chunking must be semantically invisible at ANY chunk size —
+    the property that makes the backoff loop safe to apply."""
+    whole = extract_regex_mentions(content, lang)
+    chunked = _chunked_regex(content, lang, chunk, fail_if_gt=None)
+    key = lambda m: (m["line"], m["kind"], m["name"], m["enclosing"])  # noqa: E731
+    assert sorted(map(key, chunked)) == sorted(map(key, whole))
+
+
+@settings(max_examples=100, deadline=None)
+@given(content=text_like)
+def test_extraction_deterministic(content):
+    a = extract_regex_mentions(content, "python")
+    b = extract_regex_mentions(content, "python")
+    assert a == b
+
+
+@settings(max_examples=100, deadline=None)
+@given(lines=st.lists(st.sampled_from(
+    ["def alpha(x):", "    beta(x)", "import os", "", "gamma()", "class Z:"]),
+    max_size=60))
+def test_enclosing_assignment_is_order_independent(lines):
+    content = "\n".join(lines)
+    m1 = extract_regex_mentions(content, "python")
+    # re-running assign_enclosing over a shuffled copy converges to the same
+    shuffled = sorted(
+        [dict(m) for m in m1], key=lambda m: (m["name"], m["line"]))
+    fixed = dedupe_mentions(assign_enclosing(shuffled))
+    assert fixed == m1
