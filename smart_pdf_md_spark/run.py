@@ -24,22 +24,56 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="smart-pdf-md-spark")
+    ap.add_argument("--config", help="TOML/JSON run config (CLI flags win)")
+    ap.add_argument("--no-env-warnings", action="store_true",
+                    help="suppress unknown-env-key warnings")
     ap.add_argument("--corpus", help="repo_files parquet path or Iceberg table")
     ap.add_argument("--corpus-size", type=int,
                     help="generate the deterministic corpus with N files instead")
-    ap.add_argument("--run-dir", required=True, help="stage commit/resume dir")
+    ap.add_argument("--run-dir", help="stage commit/resume dir")
     ap.add_argument("--out", help="final triples parquet (default: run-dir stage)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--include", action="append", default=None)
     ap.add_argument("--exclude", action="append", default=None)
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--link-threshold", type=float, default=0.60)
+    # default applied after the config merge (None = "not set on CLI", so a
+    # config-file value can take effect; CLI wins only when explicitly given)
+    ap.add_argument("--link-threshold", type=float, default=None)
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
     args = ap.parse_args(argv)
 
-    if not args.corpus and not args.corpus_size:
+    # stages 2-5 of the reference lifecycle: config file → precedence merge →
+    # env application (SURVEY.md §3.2). Config-load failure → rc 2 like the
+    # reference (cli.py:371).
+    import os
+
+    from .config import load_config_file, merge_config
+
+    cfg = {}
+    if args.config:
+        try:
+            cfg = load_config_file(args.config)
+        except Exception as exc:
+            print(f"error: cannot load config {args.config}: {exc}", file=sys.stderr)
+            return 2
+    rc_cfg = merge_config(vars(args), cfg,
+                          warn_unknown_env=not args.no_env_warnings)
+    for k, v in rc_cfg.env.items():
+        os.environ[k] = v  # reaches plan-build (driver) before any session
+    args.corpus = rc_cfg.corpus
+    args.corpus_size = rc_cfg.corpus_size
+    args.run_dir = rc_cfg.run_dir
+    args.out = rc_cfg.out
+    args.master = rc_cfg.master
+    args.include = rc_cfg.include
+    args.exclude = rc_cfg.exclude
+    args.partitions = rc_cfg.partitions
+    args.link_threshold = rc_cfg.link_threshold
+    args.dry_run = args.dry_run or rc_cfg.dry_run
+
+    if (not args.corpus and not args.corpus_size) or not args.run_dir:
         ap.print_usage(sys.stderr)
         return 2
 

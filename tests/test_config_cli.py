@@ -1,0 +1,58 @@
+"""Config layer (SURVEY §3.2 stages 2-5) + CLI exit-code contract."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from smart_pdf_md_spark.config import load_config_file, merge_config
+
+
+def test_key_normalization_and_env_case_preserved(tmp_path):
+    p = tmp_path / "run.toml"
+    p.write_text(
+        'Link-Threshold = 0.7\n"RUN-DIR" = "/tmp/x"\n'
+        "[env]\nKG_MOCK_FAIL = \"1\"\nMixedCase = \"y\"\n"
+    )
+    cfg = load_config_file(p)
+    assert cfg["link_threshold"] == 0.7
+    assert cfg["run_dir"] == "/tmp/x"
+    # [env] keys keep case (reference config.py:33-57 semantics)
+    assert cfg["env"] == {"KG_MOCK_FAIL": "1", "MixedCase": "y"}
+
+
+def test_precedence_cli_beats_config(tmp_path):
+    p = tmp_path / "run.toml"
+    p.write_text("link_threshold = 0.7\ncorpus_size = 100\n")
+    cfg = load_config_file(p)
+    rc = merge_config({"link_threshold": 0.9, "corpus_size": None}, cfg)
+    assert rc.link_threshold == 0.9  # CLI wins
+    assert rc.corpus_size == 100     # config fills the gap
+    rc2 = merge_config({"link_threshold": None, "corpus_size": None}, cfg)
+    assert rc2.link_threshold == 0.7
+
+
+def test_unknown_key_warnings(tmp_path, capsys):
+    p = tmp_path / "run.json"
+    p.write_text('{"bogus_key": 1, "env": {"NOT_A_KNOB": "x"}}')
+    cfg = load_config_file(p)
+    rc = merge_config({}, cfg)
+    assert any("bogus_key" in w for w in rc.warnings)
+    assert any("NOT_A_KNOB" in w for w in rc.warnings)
+    rc2 = merge_config({}, cfg, warn_unknown_env=False)
+    assert not any("NOT_A_KNOB" in w for w in rc2.warnings)
+
+
+def test_cli_usage_rc2():
+    """Missing input → rc 2 before any JVM spins up (cheap to test)."""
+    r = subprocess.run([sys.executable, "-m", "smart_pdf_md_spark.run"],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=60)
+    assert r.returncode == 2
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "smart_pdf_md_spark.run",
+         "--config", "/nonexistent.toml", "--run-dir", "/tmp/x"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60)
+    assert r2.returncode == 2
+    assert "cannot load config" in r2.stderr
