@@ -101,11 +101,18 @@ def entity_table(mentions: DataFrame, edges: DataFrame,
     )
 
 
-def canonical_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
+def canonical_triples(triples: DataFrame, entities: DataFrame,
+                      edges: DataFrame | None = None) -> DataFrame:
     """Rewrite symbol objects to canonical entity names.
 
-    IMPORTS objects are modules, not symbols — left untouched. The join is
-    broadcast: the entity table is vocabulary-sized (small dim, J1-style).
+    IMPORTS objects are modules, not symbols — left untouched. Both joins are
+    broadcast: entity table and edge list are vocabulary-sized (small dims,
+    J1-style).
+
+    `conf` semantics when `edges` is given: 1.0 for objects that are already
+    canonical; the TF-IDF cosine of the direct (raw, canonical) linking edge
+    when one exists; 0.9 for transitive merges (linked through a third
+    variant — confident but unscored).
     """
     ent = F.broadcast(
         entities.select(
@@ -129,6 +136,23 @@ def canonical_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
             "file_id", "repo", "content_sha256", "conf",
         )
     )
+    if edges is not None:
+        e = edges.select(F.col("name_a").alias("obj_raw"),
+                         F.col("name_b").alias("obj"),
+                         F.col("cos").alias("_link_cos"))
+        e = e.unionByName(
+            edges.select(F.col("name_b").alias("obj_raw"),
+                         F.col("name_a").alias("obj"),
+                         F.col("cos").alias("_link_cos")))
+        sym_canon = (
+            sym_canon.join(F.broadcast(e), ["obj_raw", "obj"], "left")
+            .withColumn(
+                "conf",
+                F.when(F.col("obj_raw") == F.col("obj"), F.lit(1.0))
+                .otherwise(F.round(F.coalesce(F.col("_link_cos"), F.lit(0.9)), 4)),
+            )
+            .drop("_link_cos")
+        )
     imp_canon = imp.select(
         "subj", "pred", "obj",
         F.col("obj").alias("obj_raw"),

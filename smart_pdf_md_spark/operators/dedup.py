@@ -41,13 +41,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle-hash) postings. Shingles are xxhash64'd before the
+    self-join: the shuffle moves 8-byte longs instead of ~30-byte strings
+    (64-bit collisions are immaterial next to the Jaccard threshold)."""
     toks = tokens_col(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.select(F.col(id_col).alias("id"),
-                     F.explode(F.array_distinct(grams)).alias("shingle"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g)))).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -61,6 +67,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     scale a single hot shingle otherwise quadratically explodes the join
     (the skew lesson of J5 applied to dedup)."""
     sh = _shingles(df, text_col, id_col, n)
+    # force a hash exchange on the join key: with a small/single-partition
+    # source, Catalyst otherwise broadcasts both sides and fuses the whole
+    # quadratic pair-count into ONE task (CPU-dense work needs row-based,
+    # not byte-based, parallelism)
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     postings = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
     sh = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),

@@ -74,7 +74,7 @@ def run_kg(
     )
     canonical, resumed["triples_canonical"] = run_stage(
         spark, run_dir, "triples_canonical",
-        lambda: canonical_triples(triples, entities),
+        lambda: canonical_triples(triples, entities, edges),
         ["subj", "pred", "obj", "file_id"],
     )
     return {

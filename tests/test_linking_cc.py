@@ -89,7 +89,7 @@ def test_entity_table_merges_golden_groups(plan, edges):
 
 def test_canonical_triples(plan, edges, spark):
     ents = entity_table(plan["mentions"], edges)
-    canon = canonical_triples(plan["triples"], ents)
+    canon = canonical_triples(plan["triples"], ents, edges)
     rows = canon.filter("pred = 'CALLS'").select("obj", "obj_raw").distinct().collect()
     # every canonical obj is the min variant of its group
     variant_to_canon = {}
@@ -105,3 +105,9 @@ def test_canonical_triples(plan, edges, spark):
     assert all(r.obj == r.obj_raw for r in imp)
     # entity ids are stable content hashes (16 hex chars)
     assert canon.filter("length(entity_id) != 16").count() == 0
+    # conf semantics: 1.0 when obj unchanged; (0,1] cosine or 0.9 otherwise
+    assert canon.filter("obj = obj_raw AND conf != 1.0").count() == 0
+    assert canon.filter("conf <= 0 OR conf > 1.0").count() == 0
+    assert canon.filter("obj != obj_raw AND conf < 0.5").count() == 0
+    # at least some rewritten objs carry a real cosine (not the transitive 0.9)
+    assert canon.filter("obj != obj_raw AND conf NOT IN (0.9, 1.0)").count() > 0
