@@ -50,6 +50,7 @@ def run_kg(
     triples, resumed["triples"] = run_stage(
         spark, run_dir, "triples",
         lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
+        deps=["mentions"],
     )
     # vocabulary computed at most once per run, shared by edges + entities
     # (each stage reads the committed mentions parquet, so extraction is
@@ -66,16 +67,19 @@ def run_kg(
         spark, run_dir, "edges",
         lambda: link_edges(mentions, link_threshold, names=_names()),
         ["name_a", "name_b"],
+        deps=["mentions"],
     )
     entities, resumed["entities"] = run_stage(
         spark, run_dir, "entities",
         lambda: entity_table(mentions, edges, names=_names()),
         ["name", "canonical_name"],
+        deps=["mentions", "edges"],
     )
     canonical, resumed["triples_canonical"] = run_stage(
         spark, run_dir, "triples_canonical",
         lambda: canonical_triples(triples, entities, edges),
         ["subj", "pred", "obj", "file_id"],
+        deps=["triples", "entities", "edges"],
     )
     return {
         "extracted": extracted,

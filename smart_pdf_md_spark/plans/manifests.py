@@ -44,6 +44,36 @@ def stage_committed(run_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(_stage_dir(run_dir, stage), "_COMMITTED"))
 
 
+def stage_run_id(run_dir: str, stage: str) -> str | None:
+    marker = os.path.join(_stage_dir(run_dir, stage), "_COMMITTED")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return f.read().strip() or None
+
+
+def _deps_path(run_dir: str, stage: str) -> str:
+    return os.path.join(_stage_dir(run_dir, stage), "_DEPS.json")
+
+
+def stage_fresh(run_dir: str, stage: str, deps: list[str] | None) -> bool:
+    """Committed AND its recorded upstream run_ids still match the current
+    commits — a stage whose input was re-committed (e.g. incremental append
+    to mentions) is stale and must recompute, or resume would silently serve
+    results computed from the old input."""
+    if not stage_committed(run_dir, stage):
+        return False
+    if not deps:
+        return True
+    import json as _json
+    dp = _deps_path(run_dir, stage)
+    if not os.path.exists(dp):
+        return False  # legacy commit without dep records → be safe, recompute
+    with open(dp) as f:
+        recorded = _json.load(f)
+    return all(recorded.get(d) == stage_run_id(run_dir, d) for d in deps)
+
+
 def read_stage(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(_stage_dir(run_dir, stage), "data"))
 
@@ -59,6 +89,7 @@ def commit_stage(
     key_cols: list[str],
     run_id: str | None = None,
     mode: str = "overwrite",
+    deps: list[str] | None = None,
 ) -> DataFrame:
     """Write stage data + per-partition manifest, then the commit marker.
 
@@ -87,6 +118,10 @@ def commit_stage(
     )
     manifest.write.mode("overwrite").parquet(os.path.join(sdir, "manifest.parquet"))
 
+    if deps:
+        import json as _json
+        with open(_deps_path(run_dir, stage), "w") as f:
+            _json.dump({d: stage_run_id(run_dir, d) for d in deps}, f)
     with open(os.path.join(sdir, "_COMMITTED"), "w") as f:
         f.write(run_id)
     return committed
@@ -99,11 +134,13 @@ def run_stage(
     build,  # Callable[[], DataFrame]
     key_cols: list[str],
     force: bool = False,
+    deps: list[str] | None = None,
 ) -> tuple[DataFrame, bool]:
-    """Resume-or-compute. Returns (stage df, was_resumed)."""
-    if not force and stage_committed(run_dir, stage):
+    """Resume-or-compute. Returns (stage df, was_resumed). A committed stage
+    resumes only while the run_ids of its `deps` stages are unchanged."""
+    if not force and stage_fresh(run_dir, stage, deps):
         return read_stage(spark, run_dir, stage), True
-    return commit_stage(build(), run_dir, stage, key_cols), False
+    return commit_stage(build(), run_dir, stage, key_cols, deps=deps), False
 
 
 def pending_inputs(inputs_with_id: DataFrame, spark: SparkSession,

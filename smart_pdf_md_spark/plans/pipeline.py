@@ -89,8 +89,18 @@ def build_mentions(
     forced_route: str | None = None,
     partitions: int | None = None,
     repartition: bool = False,
+    dedup_content: bool = False,
 ) -> DataFrame:
     """repo_files → extracted (mentions + status rows, union'd).
+
+    `dedup_content=True` extracts each DISTINCT (content, lang, route) once
+    and fans the mention rows back out to every copy with a join on
+    (content_sha256, lang) — the vendored-duplicate optimization (FIXTURES.md
+    plants byte-identical files across ≥5 repos; real corpora are far worse).
+    Trade-off: saves extraction CPU proportional to the duplication factor,
+    costs one shuffle join of the mention stream — a win whenever extraction
+    is expensive or duplication is high. Output is row-identical to the
+    direct path (tested).
 
     Skew note (J5, deliberate): extraction is a per-file map, and parquet
     scan splits are BYTE-balanced (`spark.sql.files.maxPartitionBytes`)
@@ -116,7 +126,31 @@ def build_mentions(
         df = df.repartition(n, F.xxhash64("file_id"))
     df = df.select("file_id", "repo", "path", "commit", "lang",
                    "content_sha256", "route", "content")
-    return extract_mentions(df)
+    if not dedup_content:
+        return extract_mentions(df)
+
+    files = df.select("file_id", "repo", "path", "commit", "lang",
+                      "content_sha256", "route")
+    reps = (
+        df.select("content_sha256", "lang", "route", "content")
+        .dropDuplicates(["content_sha256", "lang", "route"])
+        .withColumn("file_id", F.lit(""))
+        .withColumn("repo", F.lit(""))
+        .withColumn("path", F.lit(""))
+        .withColumn("commit", F.lit(""))
+        .select("file_id", "repo", "path", "commit", "lang",
+                "content_sha256", "route", "content")
+    )
+    rep_out = extract_mentions(reps).select(
+        "content_sha256", "lang", "sha_match", "route_used", "kind", "name",
+        "qualifier", "line", "enclosing", "status", "rc")
+    # fan back out: every copy of a content gets the representative's rows
+    # (sha_match computed on the representative holds for every copy — the
+    # join key IS the sha equality)
+    return files.join(rep_out, ["content_sha256", "lang"], "inner").select(
+        "file_id", "repo", "path", "commit", "lang", "content_sha256",
+        "sha_match", "route_used", "kind", "name", "qualifier", "line",
+        "enclosing", "status", "rc")
 
 
 def build_triples(

@@ -59,6 +59,28 @@ def test_uncommitted_stage_recomputes(spark, corpus_sdf, run_dir):
     assert stage_committed(run_dir, "entities")
 
 
+def test_stale_downstream_recomputes_after_incremental_append(
+        spark, corpus_sdf, run_dir):
+    """If mentions gets re-committed (incremental append), every downstream
+    stage is STALE and must recompute — resume serving triples computed from
+    the old input would be silently wrong."""
+    half = corpus_sdf.filter("path like 'pkg%'")
+    extract_incremental(spark, half, run_dir)
+    res1 = run_kg(spark, half, run_dir)
+    n1 = res1["triples_canonical"].count()
+    assert res1["resumed"]["mentions"] is True  # reused incremental commit
+
+    # more files arrive; mentions re-commits with a new run_id
+    m2, n_new = extract_incremental(spark, corpus_sdf, run_dir)
+    assert n_new > 0
+
+    res2 = run_kg(spark, corpus_sdf, run_dir)
+    assert res2["resumed"]["mentions"] is True
+    for stage in ("triples", "edges", "entities", "triples_canonical"):
+        assert res2["resumed"][stage] is False, f"{stage} stale but resumed"
+    assert res2["triples_canonical"].count() > n1
+
+
 def test_incremental_extraction_anti_join(spark, corpus_sdf, run_dir, monkeypatch):
     """J4: already-committed files are NOT re-extracted. Proof: commit half
     the corpus (incl. the poison rows) clean, then poison the extractor for
