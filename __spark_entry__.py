@@ -745,6 +745,74 @@ def _kg_status(spark, sf):
     return build_triples(spark, _kg_corpus(spark))["status"]
 
 
+def _g1_two_hop(spark, sf):
+    # two-hop traversal expressed on the star schema: customer -[placed]->
+    # order -[contains]-> part, for one customer segment (the SQL-checkable
+    # stand-in for two_hop_paths over triples)
+    from smart_pdf_md_spark.operators.graph import two_hop_paths
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    placed = c.join(o, c.c_custkey == o.o_custkey).select(
+        F.col("c_custkey").cast("string").alias("subj"),
+        F.lit("PLACED").alias("pred"),
+        F.col("o_orderkey").cast("string").alias("obj"))
+    contains = li.select(
+        F.col("l_orderkey").cast("string").alias("subj"),
+        F.lit("CONTAINS").alias("pred"),
+        F.col("l_partkey").cast("string").alias("obj"))
+    paths = two_hop_paths(placed.unionByName(contains), "PLACED", "CONTAINS")
+    return paths.select(F.col("a").alias("custkey"),
+                        F.col("b").alias("orderkey"),
+                        F.col("c").alias("partkey"))
+
+
+_G1_SQL = """
+SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS custkey,
+       CAST(o_orderkey AS VARCHAR) AS orderkey,
+       CAST(l_partkey AS VARCHAR) AS partkey
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def _g2_degrees(spark, sf):
+    # degree stats over the same star-derived edge set
+    from smart_pdf_md_spark.operators.graph import degrees
+    o = _t(spark, sf, "orders")
+    edges = o.select(F.col("o_custkey").cast("string").alias("subj"),
+                     F.lit("PLACED").alias("pred"),
+                     F.col("o_orderkey").cast("string").alias("obj"))
+    return degrees(edges)
+
+
+_G2_SQL = """
+WITH e AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS subj,
+                  CAST(o_orderkey AS VARCHAR) AS obj FROM orders),
+od AS (SELECT subj AS node, count(*) AS out_degree FROM e GROUP BY subj),
+id2 AS (SELECT obj AS node, count(*) AS in_degree FROM e GROUP BY obj)
+SELECT coalesce(od.node, id2.node) AS node,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree
+FROM od FULL OUTER JOIN id2 ON od.node = id2.node
+"""
+
+
+def _kg_pagerank(spark, sf):
+    from smart_pdf_md_spark.operators.graph import pagerank
+    from smart_pdf_md_spark.plans.pipeline import build_triples
+    return pagerank(build_triples(spark, _kg_corpus(spark))["triples"],
+                    iterations=5)
+
+
+def _kg_two_hop(spark, sf):
+    from smart_pdf_md_spark.operators.graph import two_hop_paths
+    from smart_pdf_md_spark.plans.pipeline import build_triples
+    t = build_triples(spark, _kg_corpus(spark))["triples"]
+    return two_hop_paths(t, "CALLS", "CALLS")
+
+
 def _dedup_minhash(spark, sf):
     return D.minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -806,6 +874,10 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "kg_entities": (_kg_entities, None),
     "kg_canonical_triples": (_kg_canonical_triples, None),
     "kg_file_status": (_kg_status, None),
+    "g1_two_hop": (_g1_two_hop, _G1_SQL),
+    "g2_degrees": (_g2_degrees, _G2_SQL),
+    "kg_pagerank": (_kg_pagerank, None),
+    "kg_two_hop_calls": (_kg_two_hop, None),
     "dedup_minhash_lsh": (_dedup_minhash, None),
     "dedup_simhash": (_dedup_simhash, None),
     "ann_topk_lsh": (_ann_lsh, None),

@@ -1,0 +1,100 @@
+"""Query operators over the materialized (subj, pred, obj) graph.
+
+The north_rule ends at "graph materialize"; these are the first-consumer
+operators a KG user runs on the triple table — all plain DataFrame joins
+and aggregations so Catalyst plans them (self-joins on `obj`/`subj` are
+shuffle-hash/sort-merge with AQE skew splitting; hub nodes are the skewed
+keys and exactly what AQE's runtime stats catch).
+
+PageRank is the one iterative op: same driver-fixpoint + localCheckpoint
+discipline as connected components (operators/cc.py) — Catalyst cannot
+loop, the driver owns the iteration count, every round's plan is flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """Per-node in/out degree over distinct edges."""
+    edges = triples.select("subj", "obj").distinct()
+    out_deg = edges.groupBy(F.col("subj").alias("node")) \
+        .agg(F.count("*").alias("out_degree"))
+    in_deg = edges.groupBy(F.col("obj").alias("node")) \
+        .agg(F.count("*").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def neighbors(triples: DataFrame, node: str,
+              direction: str = "out") -> DataFrame:
+    """1-hop neighborhood of a node (pred-labelled)."""
+    if direction == "out":
+        return triples.filter(F.col("subj") == node) \
+            .select("pred", F.col("obj").alias("neighbor")).distinct()
+    return triples.filter(F.col("obj") == node) \
+        .select("pred", F.col("subj").alias("neighbor")).distinct()
+
+
+def two_hop_paths(triples: DataFrame, pred_a: str | None = None,
+                  pred_b: str | None = None) -> DataFrame:
+    """(a)-[pred_a]->(b)-[pred_b]->(c) paths via a self-join on the middle
+    node. Distinct endpoints; the classic KG traversal primitive."""
+    t1 = triples if pred_a is None else triples.filter(F.col("pred") == pred_a)
+    t2 = triples if pred_b is None else triples.filter(F.col("pred") == pred_b)
+    a = t1.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    b = t2.select(F.col("subj").alias("b"), F.col("obj").alias("c"))
+    return a.join(b, "b").select("a", "b", "c").distinct()
+
+
+def pagerank(triples: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """PageRank over the distinct edge set (driver-loop iterative joins).
+
+    Deterministic: rank mass flows along deterministic edges from a uniform
+    start; no sampling. Dangling nodes' mass is redistributed uniformly
+    (standard formulation) so ranks sum to ~N."""
+    edges = triples.select("subj", "obj").distinct()
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("subj").alias("node")).union(
+        edges.select(F.col("obj").alias("node"))).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+
+    out_deg = edges.groupBy("subj").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+
+    for _ in range(iterations):
+        contribs = (
+            edges.join(out_deg, "subj")
+            .join(ranks, edges.subj == ranks.node)
+            .select(F.col("obj").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        # dangling mass: total rank minus mass that flowed out
+        flowing = ranks.join(out_deg, ranks.node == out_deg.subj, "left_semi")
+        dangling = n_nodes - flowing.agg(F.sum("rank")).collect()[0][0]
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.lit(float(dangling) / n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
