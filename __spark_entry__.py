@@ -395,6 +395,51 @@ SELECT DISTINCT event_type FROM events WHERE event_type LIKE 'e%'
 """
 
 
+def _agg_cube(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.cube("lang", "source")
+            .agg(F.count("*").alias("n"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"), "n"))
+
+
+_CUBE_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def _set_intersect(spark, sf):
+    ev = _t(spark, sf, "events")
+    hi = ev.filter(F.col("value") > 150).select(F.col("event_type").alias("etype"))
+    early = ev.filter(F.col("user_id") < 3).select(F.col("event_type").alias("etype"))
+    return hi.intersect(early)
+
+
+_INTERSECT_SQL = """
+SELECT DISTINCT event_type AS etype FROM events WHERE value > 150
+INTERSECT
+SELECT DISTINCT event_type FROM events WHERE user_id < 3
+"""
+
+
+def _agg_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)") + 1e-9, 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)") + 1e-9, 4).alias("p90_qty"),
+    )
+
+
+_MEDIAN_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9) + 1e-9, 4) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _agg_rollup(spark, sf):
     docs = _t(spark, sf, "documents")
     return (docs.rollup("lang", "source")
@@ -851,6 +896,9 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "w3_sessionize": (_w3_sessionize, _W3_SQL),
     "set_union_except": (_set_ops, _SET_SQL),
     "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
+    "agg_cube": (_agg_cube, _CUBE_SQL),
+    "agg_median_percentile": (_agg_median, _MEDIAN_SQL),
+    "set_intersect": (_set_intersect, _INTERSECT_SQL),
     "distinct_agg": (_distinct_agg, _DISTINCT_SQL),
     "events_tumbling_window": (_events_tumbling, _TUMBLING_SQL),
     "f1_json_extract": (_f1_json_extract, _F1_SQL),
