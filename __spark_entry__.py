@@ -790,6 +790,31 @@ def _kg_status(spark, sf):
     return build_triples(spark, _kg_corpus(spark))["status"]
 
 
+def _j7_asof_join(spark, sf):
+    # for each error event: the most recent prior signup of the same user
+    from smart_pdf_md_spark.operators.asof import asof_join
+    ev = _t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    out = asof_join(signups, errors, on="ts", by="user_id",
+                    value_cols=["signup_event"])
+    return out.select("event_id", "user_id", "asof_signup_event")
+
+
+_J7_SQL = """
+SELECT event_id, user_id, asof_signup_event FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_event
+  FROM events WHERE event_type IN ('signup', 'error')
+) WHERE event_type = 'error'
+"""
+
+
 def _g1_two_hop(spark, sf):
     # two-hop traversal expressed on the star schema: customer -[placed]->
     # order -[contains]-> part, for one customer segment (the SQL-checkable
@@ -922,6 +947,7 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "kg_entities": (_kg_entities, None),
     "kg_canonical_triples": (_kg_canonical_triples, None),
     "kg_file_status": (_kg_status, None),
+    "j7_asof_join": (_j7_asof_join, _J7_SQL),
     "g1_two_hop": (_g1_two_hop, _G1_SQL),
     "g2_degrees": (_g2_degrees, _G2_SQL),
     "kg_pagerank": (_kg_pagerank, None),
