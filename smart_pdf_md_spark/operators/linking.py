@@ -51,8 +51,15 @@ _A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
 _B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 
 
+def _normalize(name: str) -> str:
+    """Case + separator folding: snake/camel/Pascal/kebab variants of the
+    same identifier normalize to the same string, so the char-ngram space
+    measures the residual (true lexical) difference."""
+    return name.replace("_", "").replace("-", "").lower()
+
+
 def _ngrams(name: str) -> list[str]:
-    s = f"^{name.lower()}$"
+    s = f"^{_normalize(name)}$"
     if len(s) < NGRAM:
         return [s]
     return [s[i : i + NGRAM] for i in range(len(s) - NGRAM + 1)]
@@ -123,7 +130,11 @@ def ngram_tfidf(names: DataFrame) -> DataFrame:
 
     Pure DataFrame: the ngram expansion is a Column expr (no UDF needed for
     3-grams via sequence+substring over the padded lowercase name)."""
-    padded = F.concat(F.lit("^"), F.lower(F.col("name")), F.lit("$"))
+    padded = F.concat(
+        F.lit("^"),
+        F.lower(F.translate(F.col("name"), "_-", "")),
+        F.lit("$"),
+    )
     df = names.withColumn("_p", padded).withColumn(
         "gram_list",
         F.expr(
