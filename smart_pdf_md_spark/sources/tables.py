@@ -31,14 +31,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_repo_files(spark: SparkSession, path: str) -> DataFrame:
+REPO_FILES_DDL = ("repo string, path string, commit string, lang string, "
+                  "content string")
+
+
+def load_repo_files(spark: SparkSession, path: str,
+                    fmt: str | None = None) -> DataFrame:
     """Read the repo_files corpus. Iceberg (`catalog.db.table` identifiers)
-    when the runtime is on the classpath; parquet directories otherwise."""
-    if not path.endswith(".parquet") and not os.path.exists(path):
+    when the runtime is on the classpath; file formats otherwise
+    (parquet default; json/csv accepted with the schema pinned — never
+    inferSchema in a pipeline, SURVEY §2.1 fixed-schema discipline)."""
+    if not os.path.exists(path) and "/" not in path.rstrip("/"):
         try:
             return spark.read.table(path)
         except Exception:
             pass
+    fmt = fmt or ("json" if path.endswith((".json", ".jsonl"))
+                  else "csv" if path.endswith(".csv") else "parquet")
+    if fmt == "json":
+        return spark.read.schema(REPO_FILES_DDL).json(path)
+    if fmt == "csv":
+        return spark.read.schema(REPO_FILES_DDL).option("header", "true") \
+            .option("multiLine", "true").option("escape", '"').csv(path)
     return spark.read.parquet(path)
 
 
@@ -93,7 +107,13 @@ def path_filter(
     return df
 
 
-def write_triples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_triples(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by_pred: bool = False) -> None:
     """Primary sink (S6). Iceberg `writeTo(...).append()` on a real cluster;
-    parquet in the sandbox."""
-    df.write.mode(mode).parquet(path)
+    parquet in the sandbox. `partition_by_pred=True` lays the table out as
+    pred=IMPORTS/... directories so downstream pred-filtered reads prune
+    partitions (4 low-cardinality values → safe partitioning key)."""
+    w = df.write.mode(mode)
+    if partition_by_pred:
+        w = w.partitionBy("pred")
+    w.parquet(path)
