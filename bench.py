@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality_score",
     "text_fingerprint",
+    "j7_asof_join",
+    "g1_two_hop",
+    "agg_cube",
 ]
 
 

@@ -59,3 +59,18 @@ def test_kg_pagerank_runs(spark, corpus_sdf):
     pr = pagerank(t, iterations=3)
     assert pr.count() > 0
     assert pr.filter("rank <= 0").count() == 0
+
+
+def test_salted_count_equals_plain_on_skewed_corpus(spark, corpus_sdf):
+    """J5 on the planted mega-repo: the salted two-phase aggregate returns
+    exactly the plain groupBy result (the salt only reshapes the shuffle)."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.skew import salted_count
+
+    got = {r.repo: r.n for r in
+           salted_count(corpus_sdf, "repo", ["repo", "path"]).collect()}
+    want = {r.repo: r["count"] for r in
+            corpus_sdf.groupBy("repo").count().collect()}
+    assert got == want
+    assert max(want.values()) > sum(want.values()) * 0.25  # skew is real
