@@ -81,7 +81,10 @@ def merge_config(cli: dict, cfg: dict,
     for key in KNOWN_KEYS:
         cli_v = cli.get(key)
         cfg_v = cfg.get(key)
-        v = cli_v if cli_v not in (None, False) else cfg_v
+        # identity, not equality: 0 == False would make an explicit
+        # `--partitions 0` / `--link-threshold 0.0` lose to the config file,
+        # inverting CLI-beats-config precedence (ADVICE r1)
+        v = cfg_v if (cli_v is None or cli_v is False) else cli_v
         if v is not None:
             setattr(rc, key, v)
     for k in cfg:

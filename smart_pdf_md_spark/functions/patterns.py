@@ -239,6 +239,10 @@ def triple_for(repo: str, path: str, kind: str, name: str, enclosing: str) -> tu
     if kind == "def":
         return (repo, "DEFINES", name)
     if kind == "call":
-        subj = f"{file_ref}::{enclosing}" if enclosing else file_ref
-        return (subj, "CALLS", name)
+        # Symbol-space projection (north_star: `(symbol, CALLS, symbol)`):
+        # subj is the enclosing def's bare symbol so both endpoints live in
+        # the same vocabulary and the graph composes (two-hop, pagerank).
+        # Module-level calls have no enclosing symbol — fall back to the
+        # file ref, the only stable container.
+        return (enclosing if enclosing else file_ref, "CALLS", name)
     return (file_ref, "MENTIONS", name)

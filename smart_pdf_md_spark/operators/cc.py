@@ -153,6 +153,24 @@ def canonical_triples(triples: DataFrame, entities: DataFrame,
             )
             .drop("_link_cos")
         )
+    # CALLS subjects live in symbol space too (north_star: symbol→symbol) —
+    # rewrite them through the same broadcast entity map. Module-level calls
+    # carry a file-ref subj, which never matches the symbol vocabulary and
+    # falls through coalesce untouched. conf stays obj-linking-scoped.
+    subj_ent = F.broadcast(
+        entities.select(F.col("name").alias("subj"),
+                        F.col("canonical_name").alias("_subj_canon"))
+    )
+    sym_canon = (
+        sym_canon.join(subj_ent, "subj", "left")
+        .withColumn(
+            "subj",
+            F.when(F.col("pred") == "CALLS",
+                   F.coalesce(F.col("_subj_canon"), F.col("subj")))
+            .otherwise(F.col("subj")),
+        )
+        .drop("_subj_canon")
+    )
     imp_canon = imp.select(
         "subj", "pred", "obj",
         F.col("obj").alias("obj_raw"),

@@ -43,6 +43,9 @@ N_BANDS = 16         # bands of r = N_PERM // N_BANDS rows
 MAX_BUCKET = 64      # bucket-size cap for the band self-join
 NGRAM = 3
 DEFAULT_COSINE_THRESHOLD = 0.60
+# hot-bucket drop counters of the most recent candidate_pairs run (see its
+# docstring); populated per call, also available via the `metrics` param
+LAST_DROP_METRICS: dict[str, int] = {}
 
 _MERSENNE = (1 << 61) - 1
 # deterministic permutation params (seeded, process-independent)
@@ -96,8 +99,16 @@ def name_vocabulary(mentions: DataFrame,
             .select("name").distinct())
 
 
-def candidate_pairs(names: DataFrame) -> DataFrame:
-    """names(name) → candidate (name_a, name_b) via LSH banding self-join."""
+def candidate_pairs(names: DataFrame,
+                    metrics: dict | None = None) -> DataFrame:
+    """names(name) → candidate (name_a, name_b) via LSH banding self-join.
+
+    Hot band buckets (> MAX_BUCKET members — vendored-duplicate pathology)
+    are excluded from the self-join, and that exclusion is MATERIALIZED, not
+    silent (ADVICE r1): the count of dropped buckets/rows is logged to stderr
+    and recorded in `metrics` (keys `dropped_buckets`, `dropped_band_rows`)
+    and in module-level LAST_DROP_METRICS, so a run where a name loses all
+    its bands to hot buckets is observable and alertable."""
     r = N_PERM // N_BANDS
     sigs = names.withColumn("sig", _minhash_sig(F.col("name")))
     bands = sigs.select(
@@ -109,12 +120,24 @@ def candidate_pairs(names: DataFrame) -> DataFrame:
         ).alias("band", "band_sig"),
     ).withColumn("band_hash", F.xxhash64(F.col("band"), F.col("band_sig"))) \
      .drop("band_sig")
-    # cap pathological buckets (documented bound, not silent: report via metric)
+    # cap pathological buckets — bounded AND counted (never silent)
     bucket_sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bn"))
-    bands = bands.join(
-        F.broadcast(bucket_sizes.filter(F.col("bn") > MAX_BUCKET)),
-        ["band", "band_hash"], "left_anti",
-    )
+    hot = bucket_sizes.filter(F.col("bn") > MAX_BUCKET).persist()
+    drop_row = hot.agg(
+        F.count("*").alias("k"),
+        F.coalesce(F.sum("bn"), F.lit(0)).alias("rows")).collect()[0]
+    drop_stats = {"dropped_buckets": int(drop_row["k"]),
+                  "dropped_band_rows": int(drop_row["rows"])}
+    LAST_DROP_METRICS.clear()
+    LAST_DROP_METRICS.update(drop_stats)
+    if metrics is not None:
+        metrics.update(drop_stats)
+    if drop_stats["dropped_buckets"]:
+        import sys
+        print(f"[linking] dropped {drop_stats['dropped_buckets']} hot band "
+              f"buckets ({drop_stats['dropped_band_rows']} band rows) over "
+              f"MAX_BUCKET={MAX_BUCKET}", file=sys.stderr)
+    bands = bands.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

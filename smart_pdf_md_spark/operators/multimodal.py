@@ -87,7 +87,9 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: explode a frame index sequence
     from metadata (pure exprs — the decode of each frame would live in
     extract_features). Deterministic, shuffle-free."""
-    n_frames = (F.col("meta.n_bytes") / F.lit(100)).cast("int")
+    # explicit floor: Spark's cast('int') truncates while DuckDB's CAST
+    # rounds — both sides of the oracle pair must floor (ADVICE r1)
+    n_frames = F.floor(F.col("meta.n_bytes") / F.lit(100)).cast("int")
     return media.select(
         "media_id", "media_type",
         F.explode(

@@ -11,16 +11,22 @@ manifest table partitioned by run. The sandbox has no Iceberg jar
 (SURVEY.md §7), so the same protocol runs on parquet + an atomic marker
 file, behind one small interface:
 
-    run_dir/<stage>/data/            stage output (parquet)
-    run_dir/<stage>/manifest.parquet (stage, partition_id, row_count,
-                                      sha256_agg, run_id)
-    run_dir/<stage>/_COMMITTED       written LAST → commit point
+    run_dir/<stage>/data/b_<run_id>/      one immutable batch dir per commit
+    run_dir/<stage>/manifest_<run_id>.parquet  (stage, partition_id,
+                                           row_count, sha256_agg, run_id)
+    run_dir/<stage>/_COMMITTED            JSON snapshot pointer, published
+                                          LAST via temp-file + os.replace:
+                                          {"run_id", "batches", "manifest"}
 
-A run killed between data-write and marker-write recomputes the stage
-(overwrite semantics → idempotent). Per-partition `sha256_agg` is an
-order-insensitive digest (bit_xor of per-row xxhash64 over the key columns),
-so two runs of the same input can be compared partition-by-partition without
-sorting — the A4 progress/metrics analogue.
+Snapshot semantics (the Iceberg commit protocol on plain parquet): readers
+resolve the marker and read ONLY the batch dirs it lists. A run killed
+between data-write and marker-write leaves an orphaned batch dir that no
+reader ever sees — in particular an interrupted incremental APPEND cannot
+poison `pending_inputs` into serving half-committed rows under the old
+run_id (ADVICE r1). Per-partition `sha256_agg` is an order-insensitive
+digest (bit_xor of per-row xxhash64 over the key columns), so two runs of
+the same input can be compared partition-by-partition without sorting — the
+A4 progress/metrics analogue.
 
 File-level incremental resume (J4): `pending_inputs` anti-joins the input
 against the file_ids already present in a committed mentions stage, so an
@@ -29,7 +35,9 @@ interrupted extraction pass reprocesses only uncommitted files.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,16 +48,45 @@ def _stage_dir(run_dir: str, stage: str) -> str:
     return os.path.join(run_dir, stage)
 
 
-def stage_committed(run_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(_stage_dir(run_dir, stage), "_COMMITTED"))
-
-
-def stage_run_id(run_dir: str, stage: str) -> str | None:
+def _read_marker(run_dir: str, stage: str) -> dict | None:
+    """Resolve the committed snapshot pointer; None if not committed."""
     marker = os.path.join(_stage_dir(run_dir, stage), "_COMMITTED")
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        return f.read().strip() or None
+        raw = f.read().strip()
+    try:
+        d = json.loads(raw)
+        if isinstance(d, dict) and "run_id" in d:
+            return d
+    except ValueError:
+        pass
+    # legacy plain-run_id marker: the whole data dir is the committed view
+    return {"run_id": raw or None, "batches": None,
+            "manifest": "manifest.parquet"}
+
+
+def _write_atomic(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic publish — the commit point
+
+
+def stage_committed(run_dir: str, stage: str) -> bool:
+    return _read_marker(run_dir, stage) is not None
+
+
+def stage_run_id(run_dir: str, stage: str) -> str | None:
+    m = _read_marker(run_dir, stage)
+    return m["run_id"] if m else None
+
+
+def _batch_paths(run_dir: str, stage: str, marker: dict) -> list[str]:
+    data_dir = os.path.join(_stage_dir(run_dir, stage), "data")
+    if marker.get("batches") is None:  # legacy layout
+        return [data_dir]
+    return [os.path.join(data_dir, b) for b in marker["batches"]]
 
 
 def _deps_path(run_dir: str, stage: str) -> str:
@@ -75,11 +112,22 @@ def stage_fresh(run_dir: str, stage: str, deps: list[str] | None) -> bool:
 
 
 def read_stage(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(_stage_dir(run_dir, stage), "data"))
+    """Committed snapshot only: reads the batch dirs the marker lists, so
+    orphaned batches from a killed commit are invisible."""
+    marker = _read_marker(run_dir, stage)
+    if marker is None:
+        raise FileNotFoundError(f"stage {stage!r} has no committed snapshot "
+                                f"under {run_dir!r}")
+    return spark.read.parquet(*_batch_paths(run_dir, stage, marker))
 
 
 def read_manifest(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(_stage_dir(run_dir, stage), "manifest.parquet"))
+    marker = _read_marker(run_dir, stage)
+    if marker is None:
+        raise FileNotFoundError(f"stage {stage!r} has no committed snapshot "
+                                f"under {run_dir!r}")
+    return spark.read.parquet(
+        os.path.join(_stage_dir(run_dir, stage), marker["manifest"]))
 
 
 def commit_stage(
@@ -91,19 +139,28 @@ def commit_stage(
     mode: str = "overwrite",
     deps: list[str] | None = None,
 ) -> DataFrame:
-    """Write stage data + per-partition manifest, then the commit marker.
+    """Write a fresh immutable batch dir + per-snapshot manifest, then
+    atomically publish the snapshot pointer. `mode='append'` keeps the prior
+    snapshot's batches in the new pointer; a kill anywhere before the pointer
+    swap leaves the previous snapshot fully intact and the new batch
+    invisible (no torn append — ADVICE r1).
 
-    Returns the stage re-read from disk (so downstream stages read the
-    committed snapshot, not the live plan — lineage cut, like the CC
+    Returns the stage re-read from the committed snapshot (so downstream
+    stages read disk, not the live plan — lineage cut, like the CC
     checkpoints)."""
     sdir = _stage_dir(run_dir, stage)
     data_dir = os.path.join(sdir, "data")
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex
+    prev = _read_marker(run_dir, stage) if mode == "append" else None
 
-    df.write.mode(mode).parquet(data_dir)
+    batch = f"b_{run_id}"
+    df.write.mode("overwrite").parquet(os.path.join(data_dir, batch))
 
-    committed = spark.read.parquet(data_dir)
+    prev_batches = (prev or {}).get("batches") or []
+    batches = prev_batches + [batch]
+    committed = spark.read.parquet(
+        *[os.path.join(data_dir, b) for b in batches])
     digest = F.bit_xor(F.xxhash64(*[F.col(c) for c in key_cols]))
     manifest = (
         committed.withColumn("partition_id", F.spark_partition_id())
@@ -116,15 +173,30 @@ def commit_stage(
         .withColumn("run_id", F.lit(run_id))
         .select("stage", "partition_id", "row_count", "sha256_agg", "run_id")
     )
-    manifest.write.mode("overwrite").parquet(os.path.join(sdir, "manifest.parquet"))
+    manifest_name = f"manifest_{run_id}.parquet"
+    manifest.write.mode("overwrite").parquet(os.path.join(sdir, manifest_name))
 
     if deps:
-        import json as _json
-        with open(_deps_path(run_dir, stage), "w") as f:
-            _json.dump({d: stage_run_id(run_dir, d) for d in deps}, f)
-    with open(os.path.join(sdir, "_COMMITTED"), "w") as f:
-        f.write(run_id)
+        _write_atomic(_deps_path(run_dir, stage),
+                      json.dumps({d: stage_run_id(run_dir, d) for d in deps}))
+    _write_atomic(os.path.join(sdir, "_COMMITTED"),
+                  json.dumps({"run_id": run_id, "batches": batches,
+                              "manifest": manifest_name}))
+    _gc_stage(sdir, keep_batches=set(batches), keep_manifest=manifest_name)
     return committed
+
+
+def _gc_stage(sdir: str, keep_batches: set[str], keep_manifest: str) -> None:
+    """After the pointer swap, drop batch dirs / manifests no snapshot
+    references (orphans of killed commits, superseded overwrites)."""
+    data_dir = os.path.join(sdir, "data")
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            if d.startswith("b_") and d not in keep_batches:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+    for f in os.listdir(sdir):
+        if f.startswith("manifest_") and f != keep_manifest:
+            shutil.rmtree(os.path.join(sdir, f), ignore_errors=True)
 
 
 def run_stage(

@@ -30,13 +30,15 @@ def triples_from_mentions(mentions: DataFrame, distinct: bool = True) -> DataFra
     """Mention rows → (subj, pred, obj) with lineage. Pure Column exprs —
     whole-stage codegen, no Python. Mapping per functions/patterns.triple_for:
     (file, IMPORTS, module) · (repo, DEFINES, symbol) ·
-    (file::enclosing | file, CALLS, symbol) · (file, MENTIONS, entity)."""
+    (enclosing-symbol | file, CALLS, symbol) · (file, MENTIONS, entity).
+    CALLS is symbol→symbol (north_star) so the edge set composes under
+    self-joins; only module-level calls fall back to the file ref."""
     file_ref = F.concat_ws("/", F.col("repo"), F.col("path"))
     subj = (
         F.when(F.col("kind") == "def", F.col("repo"))
         .when(
             (F.col("kind") == "call") & (F.col("enclosing") != ""),
-            F.concat(file_ref, F.lit("::"), F.col("enclosing")),
+            F.col("enclosing"),  # symbol-space: (symbol, CALLS, symbol)
         )
         .otherwise(file_ref)
     )

@@ -30,6 +30,10 @@ def test_precedence_cli_beats_config(tmp_path):
     assert rc.corpus_size == 100     # config fills the gap
     rc2 = merge_config({"link_threshold": None, "corpus_size": None}, cfg)
     assert rc2.link_threshold == 0.7
+    # explicit ZERO on the CLI must still win (0 == False pitfall, ADVICE r1)
+    rc3 = merge_config({"link_threshold": 0.0, "corpus_size": 0}, cfg)
+    assert rc3.link_threshold == 0.0
+    assert rc3.corpus_size == 0
 
 
 def test_unknown_key_warnings(tmp_path, capsys):

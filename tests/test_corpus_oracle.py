@@ -59,6 +59,6 @@ def test_oracle_known_by_construction():
     assert ("o/r/a/b.py", "IMPORTS", "os") in got
     assert ("o/r/a/b.py", "IMPORTS", "core.utils") in got
     assert ("o/r", "DEFINES", "alpha") in got
-    assert ("o/r/a/b.py::alpha", "CALLS", "beta") in got
+    assert ("alpha", "CALLS", "beta") in got  # symbol-space CALLS
     assert ("o/r/a/b.py", "MENTIONS", "EntX") in got
     assert len(got) == 5

@@ -61,6 +61,28 @@ def test_kg_pagerank_runs(spark, corpus_sdf):
     assert pr.filter("rank <= 0").count() == 0
 
 
+def test_two_hop_calls_matches_oracle_and_is_nonempty(spark, corpus_sdf, corpus_pdf):
+    """Symbol-space CALLS must compose: (f CALLS g)⋈(g CALLS h) over the
+    corpus yields the exact path set the pandas oracle derives, and that set
+    is nonempty by construction (VERDICT r1: the old file::enclosing subj
+    made this join structurally vacuous)."""
+    from smart_pdf_md_spark.oracle import oracle_triples
+    from smart_pdf_md_spark.plans.pipeline import build_triples
+
+    t = build_triples(spark, corpus_sdf)["triples"]
+    got = {(r.a, r.b, r.c) for r in two_hop_paths(t, "CALLS", "CALLS").collect()}
+
+    calls = oracle_triples(corpus_pdf).query("pred == 'CALLS'")
+    import pandas as pd
+    want_df = pd.merge(
+        calls.rename(columns={"subj": "a", "obj": "b"})[["a", "b"]],
+        calls.rename(columns={"subj": "b", "obj": "c"})[["b", "c"]],
+        on="b")
+    want = {tuple(r) for r in want_df.itertuples(index=False)}
+    assert got == want
+    assert len(got) > 100  # chains exist by construction (shared symbol vocab)
+
+
 def test_salted_count_equals_plain_on_skewed_corpus(spark, corpus_sdf):
     """J5 on the planted mega-repo: the salted two-phase aggregate returns
     exactly the plain groupBy result (the salt only reshapes the shuffle)."""

@@ -113,3 +113,32 @@ def test_canonical_triples(plan, edges, spark):
     # variants score cosine 1.0; transitive merges get the 0.9 floor)
     assert canon.filter("obj != obj_raw").count() > 0
     assert canon.filter("obj != obj_raw AND conf < 0.9").count() == 0
+
+
+def test_hot_bucket_drop_is_counted_not_silent(spark):
+    """ADVICE r1: capped band buckets must surface a metric. Names built as
+    'ab'*k all share the 3-gram set {aba, bab} → identical MinHash signature
+    → every band lands in one bucket of size 100 (> MAX_BUCKET=64), which is
+    dropped AND counted."""
+    from smart_pdf_md_spark.operators.linking import (
+        LAST_DROP_METRICS,
+        MAX_BUCKET,
+        N_BANDS,
+        candidate_pairs,
+    )
+
+    hot = [("ab" * k,) for k in range(2, 102)]  # 100 names, one gram set
+    names = spark.createDataFrame(hot, ["name"])
+    metrics: dict = {}
+    pairs = candidate_pairs(names, metrics=metrics)
+    assert pairs.count() == 0  # entire vocabulary was one hot bucket
+    assert metrics["dropped_buckets"] == N_BANDS
+    assert metrics["dropped_band_rows"] == N_BANDS * len(hot)
+    assert LAST_DROP_METRICS == metrics
+    assert len(hot) > MAX_BUCKET  # the fixture actually exceeds the cap
+
+    # and a clean vocabulary reports zero drops
+    clean = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["name"])
+    m2: dict = {}
+    candidate_pairs(clean, metrics=m2).count()
+    assert m2 == {"dropped_buckets": 0, "dropped_band_rows": 0}

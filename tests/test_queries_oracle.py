@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(s.dtype) == "float32":
             df[c] = s.astype("float64")
         if str(s.dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None) if s.dt.tz is not None else s
+            t = pd.to_datetime(s).dt.tz_localize(None) if s.dt.tz is not None else s
+            df[c] = t.astype("datetime64[ns]")
         if s.dtype == object:
             # decimal.Decimal (duckdb round) → float
             import decimal
@@ -62,6 +63,13 @@ def test_query_matches_oracle(spark, ddb, name):
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    # dtype-STRICT after canon: the driver's value hash distinguishes int 1
+    # from float 1.0 (duckdb sum(int)→HUGEINT→float64 vs spark int64), so a
+    # post-canon dtype mismatch here means a driver hash_match=false. _canon
+    # only normalizes benign width diffs (int32→int64, float32→float64,
+    # Decimal→float, datetime resolution); int-vs-float must fail.
+    assert [str(d) for d in got.dtypes] == [str(d) for d in want.dtypes], \
+        f"{name}: dtypes {dict(got.dtypes.astype(str))} != {dict(want.dtypes.astype(str))}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
 

@@ -22,8 +22,13 @@ def run_dir(tmp_path):
 
 def _data_files(run_dir: str, stage: str) -> dict[str, float]:
     d = os.path.join(run_dir, stage, "data")
-    return {f: os.path.getmtime(os.path.join(d, f))
-            for f in os.listdir(d) if f.endswith(".parquet")}
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.path.getmtime(p)
+    return out
 
 
 def test_full_run_commits_all_stages(spark, corpus_sdf, run_dir):
@@ -79,6 +84,45 @@ def test_stale_downstream_recomputes_after_incremental_append(
     for stage in ("triples", "edges", "entities", "triples_canonical"):
         assert res2["resumed"][stage] is False, f"{stage} stale but resumed"
     assert res2["triples_canonical"].count() > n1
+
+
+def test_torn_append_is_invisible_until_marker(spark, corpus_sdf, run_dir):
+    """Kill AFTER the appended parquet lands but BEFORE the snapshot pointer
+    swap (ADVICE r1): the orphan batch must be invisible — pending_inputs
+    still sees the new files as pending, and the resumed view + run_id are
+    exactly the pre-append snapshot."""
+    import json
+
+    from smart_pdf_md_spark.plans.manifests import pending_inputs, stage_run_id
+    from smart_pdf_md_spark.sources.tables import with_identity
+
+    half = corpus_sdf.filter("path like 'src/%'")
+    m1, _ = extract_incremental(spark, half, run_dir)
+    rid1 = stage_run_id(run_dir, "mentions")
+    n1 = m1.count()
+
+    # simulate the torn append: a second batch dir exists on disk but the
+    # marker still points at the first snapshot
+    data_dir = os.path.join(run_dir, "mentions", "data")
+    orphan = os.path.join(data_dir, "b_deadbeef")
+    committed_batches = json.load(
+        open(os.path.join(run_dir, "mentions", "_COMMITTED")))["batches"]
+    src_batch = os.path.join(data_dir, committed_batches[0])
+    shutil.copytree(src_batch, orphan)
+
+    assert stage_run_id(run_dir, "mentions") == rid1
+    assert read_stage(spark, run_dir, "mentions").count() == n1  # orphan unseen
+
+    inputs = with_identity(corpus_sdf).select(
+        "repo", "path", "commit", "lang", "content", "file_id")
+    n_pending = pending_inputs(inputs, spark, run_dir, "mentions").count()
+    assert n_pending == corpus_sdf.count() - half.count()
+
+    # the real re-append commits, bumps the run_id, and GCs the orphan
+    m2, n2 = extract_incremental(spark, corpus_sdf, run_dir)
+    assert n2 == n_pending
+    assert stage_run_id(run_dir, "mentions") != rid1
+    assert not os.path.exists(orphan)
 
 
 def test_incremental_extraction_anti_join(spark, corpus_sdf, run_dir, monkeypatch):
