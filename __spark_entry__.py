@@ -894,7 +894,10 @@ def _dedup_minhash(spark, sf):
 
 
 def _dedup_simhash(spark, sf):
-    return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=12)
+    # hamming ≤ 3 makes the 4×16-bit banding pigeonhole-COMPLETE: every
+    # qualifying pair shares a band, so the operator is exact here (r1's
+    # ≤12 matched 13.7% of all pairs — a near-dup net that loose is noise)
+    return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def _ann_lsh(spark, sf):

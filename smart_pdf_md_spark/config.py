@@ -66,10 +66,24 @@ def _normalize(d: dict) -> dict:
 
 
 def load_config_file(path: str | Path) -> dict:
+    """TOML (default) / JSON / YAML by extension — the same three formats the
+    reference accepts (/root/reference/src/smart_pdf_md/config.py:33-57,
+    `.yml`/`.yaml` at :43-48). YAML is gated on PyYAML being importable."""
     p = Path(path)
     raw = p.read_bytes()
     if p.suffix == ".json":
         return _normalize(json.loads(raw))
+    if p.suffix in (".yml", ".yaml"):
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover - yaml ships in env
+            raise RuntimeError(
+                f"YAML config {p} requires PyYAML, which is not installed"
+            ) from exc
+        data = yaml.safe_load(raw.decode("utf-8")) or {}
+        if not isinstance(data, dict):
+            raise ValueError(f"YAML config {p} must be a mapping")
+        return _normalize(data)
     return _normalize(tomllib.loads(raw.decode("utf-8")))
 
 
@@ -90,12 +104,16 @@ def merge_config(cli: dict, cfg: dict,
     for k in cfg:
         if k not in KNOWN_KEYS and k != "env":
             warnings.append(f"unknown config key: {k}")
-    env = cfg.get("env", {})
+    # env: config [env] table overlaid by CLI -E KEY=VALUE (CLI wins —
+    # reference cli.py:415-453 precedence)
+    env = dict(cfg.get("env", {}))
+    cli_env = cli.get("env") or {}
+    env.update({str(k): str(v) for k, v in cli_env.items()})
     if warn_unknown_env:
         for k in env:
             if k.upper() not in KNOWN_ENV:
                 warnings.append(f"unknown env key: {k}")
-    rc.env = dict(env)
+    rc.env = env
     rc.warnings = warnings
     for w in warnings:
         print(f"[WARN] {w}", file=sys.stderr)

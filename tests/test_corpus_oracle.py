@@ -15,7 +15,8 @@ def test_corpus_deterministic_and_order_independent():
 
 def test_corpus_archetypes_present(corpus_pdf):
     langs = set(corpus_pdf["lang"])
-    assert {"python", "javascript", "go", "markdown", "binary"} <= langs
+    assert {"python", "javascript", "go", "java", "rust", "ruby",
+            "markdown", "binary"} <= langs
     assert (corpus_pdf["content"] == "").any()  # empty files
     assert corpus_pdf["path"].str.startswith("vendor/lib/").any()
     # vendored content is byte-identical across distinct repos

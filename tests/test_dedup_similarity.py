@@ -93,3 +93,21 @@ def test_multimodal_plumbing(spark):
         MM.extract_features(media, decode_stub=False).first()
     frames = MM.frame_sample_plan(media, every_n=10)
     assert frames.count() >= docs.count()  # ≥1 frame per media row
+
+
+def test_simhash_banded_exact_at_hamming3(spark, corpus_docs):
+    """For max_hamming ≤ 3 the 4×16-bit banding is pigeonhole-complete:
+    banded pairs == brute-force O(n²) hamming pairs."""
+    docs = corpus_docs.filter("length(text) > 0").limit(150)
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+
+    sig = D.simhash_signatures(docs).select("id", "simhash")
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+             .filter("hamming <= 3"))
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want

@@ -68,6 +68,24 @@ def test_status_taxonomy(plan):
     assert s.first_nonzero_rc != 0
 
 
+def test_unknown_forced_engine_is_rc9(spark, corpus_sdf):
+    """Forcing an unknown engine (incl. the reference quirk `-e auto`) is an
+    rc-9 'unknown engine' error (core.py:1005-1006), NOT an rc-4
+    unsupported-lang skip (VERDICT r1 taxonomy conflation)."""
+    from smart_pdf_md_spark.plans.pipeline import build_triples
+
+    for bogus in ("marker", "auto"):
+        plan = build_triples(spark, corpus_sdf.limit(20), forced_route=bogus)
+        st = plan["status"].toPandas()
+        assert (st["status"] == "unknown_engine").all(), bogus
+        assert (st["rc"] == 9).all(), bogus
+    # a KNOWN forced engine still works
+    plan = build_triples(spark, corpus_sdf, forced_route="regex")
+    st = plan["status"].toPandas()
+    assert set(st["status"]) <= {"ok", "error"}
+    assert (st["route_used"] != "unknown_engine").all()
+
+
 def test_giant_chunked_equals_whole_file(plan, corpus_pdf):
     """Chunked extraction (R1) must be semantically invisible."""
     golden = oracle_mentions(corpus_pdf)
