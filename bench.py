@@ -55,10 +55,10 @@ def _materialize(df) -> None:
 def _bench_corpus(spark, n: int):
     """Generate-once, read-from-parquet corpus (scan realism + generation
     excluded from timing)."""
+    from smart_pdf_md_spark.corpus import CORPUS_VERSION, corpus_df
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".bench", f"corpus_{n}.parquet")
+                        ".bench", f"corpus_v{CORPUS_VERSION}_{n}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from smart_pdf_md_spark.corpus import corpus_df
         corpus_df(spark, n, partitions=256).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -74,7 +74,10 @@ spark.stop()
 
 
 def main() -> int:
-    corpus = os.path.join(REPO, ".bench", f"corpus_{N_FILES}.parquet")
+    sys.path.insert(0, REPO)
+    from smart_pdf_md_spark.corpus import CORPUS_VERSION
+    corpus = os.path.join(REPO, ".bench",
+                          f"corpus_v{CORPUS_VERSION}_{N_FILES}.parquet")
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = (
             f"import sys; sys.path.insert(0, {REPO!r});\n"

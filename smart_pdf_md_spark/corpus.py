@@ -28,6 +28,8 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 SEED = 42
+# bump when the generated content changes — benchmark corpus caches key on it
+CORPUS_VERSION = 2
 POISON_MARKER = "__KG_POISON__"
 
 # Closed symbol vocabulary. Each tuple is one *entity*: surface variants that

@@ -145,29 +145,48 @@ def extract_mentions(routed: DataFrame,
     gt = os.environ.get("KG_MOCK_FAIL_IF_CHUNK_GT", "")
     fail_if_gt = int(gt) if gt else None
 
+    cols = ("file_id", "repo", "path", "commit", "lang", "content_sha256",
+            "sha_match", "route_used", "kind", "name", "qualifier", "line",
+            "enclosing", "status", "rc")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            # columnar accumulation: at ~8 mentions/file the dict-of-lists →
+            # DataFrame path is several times cheaper than 8M row dicts
+            out: dict[str, list] = {c: [] for c in cols}
+            (c_fid, c_repo, c_path, c_commit, c_lang, c_sha, c_match, c_route,
+             c_kind, c_name, c_qual, c_line, c_encl, c_status, c_rc) = (
+                out[c] for c in cols)
             for row in pdf.itertuples(index=False):
                 sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
-                base = {
-                    "file_id": row.file_id, "repo": row.repo, "path": row.path,
-                    "commit": row.commit, "lang": row.lang,
-                    "content_sha256": row.content_sha256,
-                    "sha_match": sha == row.content_sha256,
-                }
+                match = sha == row.content_sha256
                 mentions, route_used, status, rc = _extract_one(
                     row, chunk_lines, mock_fail, fail_if_gt)
-                out.append({**base, "route_used": route_used, "kind": FILE_MARKER,
-                            "name": "", "qualifier": "", "line": 0,
-                            "enclosing": "", "status": status, "rc": rc})
+                n = len(mentions) + 1
+                c_fid.extend([row.file_id] * n)
+                c_repo.extend([row.repo] * n)
+                c_path.extend([row.path] * n)
+                c_commit.extend([row.commit] * n)
+                c_lang.extend([row.lang] * n)
+                c_sha.extend([row.content_sha256] * n)
+                c_match.extend([match] * n)
+                c_route.extend([route_used] * n)
+                c_kind.append(FILE_MARKER)
+                c_name.append("")
+                c_qual.append("")
+                c_line.append(0)
+                c_encl.append("")
+                c_status.append(status)
+                c_rc.append(rc)
                 for m in mentions:
-                    out.append({**base, "route_used": route_used, **m,
-                                "status": "ok", "rc": RC_OK})
-            yield pd.DataFrame(out, columns=[
-                "file_id", "repo", "path", "commit", "lang", "content_sha256",
-                "sha_match", "route_used", "kind", "name", "qualifier", "line",
-                "enclosing", "status", "rc"])
+                    c_kind.append(m["kind"])
+                    c_name.append(m["name"])
+                    c_qual.append(m["qualifier"])
+                    c_line.append(m["line"])
+                    c_encl.append(m["enclosing"])
+                    c_status.append("ok")
+                    c_rc.append(RC_OK)
+            yield pd.DataFrame(out, columns=list(cols))
 
     return routed.mapInPandas(run, schema=MENTION_SCHEMA)
 
