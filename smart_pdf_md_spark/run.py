@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
+    ap.add_argument("--failures-out",
+                    help="side sink for failed-file status rows; written ONLY "
+                         "when failures exist (the reference's tables-count "
+                         "gate, core.py:506-521: side artifact appears only "
+                         "when the count is non-zero)")
     args = ap.parse_args(argv)
 
     # stages 2-5 of the reference lifecycle: config file → precedence merge →
@@ -115,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
         n_triples = result["triples_canonical"].count()
         if args.out:
             write_triples(result["triples_canonical"], args.out)
+        if args.failures_out:
+            # conditional side-write (A6): the failure count is already on
+            # the summary row, so the gate costs no extra job; like the
+            # reference, a clean run leaves NO side artifact behind
+            if s.failures:
+                result["status"].filter("rc != 0") \
+                    .write.mode("overwrite").parquet(args.failures_out)
+                print(f"[info] {s.failures} failures -> {args.failures_out}",
+                      file=sys.stderr)
+            else:
+                print("[info] no failures detected; side sink skipped",
+                      file=sys.stderr)
         elapsed = time.perf_counter() - t0
         payload = {
             "total": s.total,

@@ -91,3 +91,29 @@ def test_cli_malformed_env_override_rc2():
         capture_output=True, text=True, cwd="/root/repo", timeout=60)
     assert r.returncode == 2
     assert "KEY=VALUE" in r.stderr
+
+
+def test_failures_side_sink_gate(tmp_path):
+    """A6 tables-count-gate analogue: the failures side sink is written ONLY
+    when failures exist (reference core.py:506-521 writes <stem>.tables.md
+    only when camelot found tables)."""
+    base = [sys.executable, "-m", "smart_pdf_md_spark.run",
+            "--master", "local[2]", "--no-env-warnings"]
+    # corpus-size 40 includes empty/binary fixtures → failures > 0
+    out = tmp_path / "failures.parquet"
+    r = subprocess.run(
+        base + ["--corpus-size", "40", "--run-dir", str(tmp_path / "r1"),
+                "--failures-out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode != 2, r.stderr[-2000:]
+    assert out.exists()
+    assert "failures ->" in r.stderr
+    # corpus rows 0-2 all extract clean → gate skips the sink entirely
+    out2 = tmp_path / "failures2.parquet"
+    r2 = subprocess.run(
+        base + ["--corpus-size", "3", "--run-dir", str(tmp_path / "r2"),
+                "--failures-out", str(out2)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert not out2.exists()
+    assert "side sink skipped" in r2.stderr
