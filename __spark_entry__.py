@@ -644,9 +644,35 @@ _TOKENS_SQL = """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS INT) AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        length(regexp_replace(text, '\\s', '', 'g')) AS n_chars_nows
 FROM documents
+"""
+
+
+def _text_chunking(spark, sf):
+    return TS.chunk_documents(_t(spark, sf, "documents"),
+                              chunk_tokens=100, overlap=20)
+
+
+# chunk starts step by 80; md5-free reconstruction via list slicing on both
+# engines; hashing chunk_text would also match (md5 both sides) but the raw
+# text keeps the check strongest
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i // 80 AS INT) AS chunk_idx,
+       array_to_string(toks[i + 1 : i + 100], ' ') AS chunk_text,
+       CAST(least(len(toks) - i, 100) AS INT) AS chunk_len
+FROM t, UNNEST(range(0, len(toks), 80)) AS u(i)
+WHERE len(toks) > 0
 """
 
 
@@ -761,13 +787,6 @@ def _kg_corpus(spark):
     from smart_pdf_md_spark.corpus import corpus_df
     _ensure_shipped(spark)
     return corpus_df(spark, _KG_N)
-
-
-def _kg_mentions(spark, sf):
-    from smart_pdf_md_spark.plans.pipeline import build_mentions
-    from smart_pdf_md_spark.operators.extract import mentions_only
-    return mentions_only(build_mentions(spark, _kg_corpus(spark))) \
-        .select("file_id", "kind", "name", "line", "enclosing")
 
 
 def _kg_entities(spark, sf):
@@ -943,13 +962,13 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_cosine": (_dedup_cosine, _DEDUP_COSINE_SQL),
     "ann_topk_bruteforce": (_ann_topk, _ANN_SQL),
     "text_token_count": (_text_tokens, _TOKENS_SQL),
+    "text_chunking": (_text_chunking, _CHUNK_SQL),
     "text_quality_score": (_text_quality, _QUALITY_SQL),
     "text_lang_id": (_text_lang_id, _LANG_ID_SQL),
     "text_fingerprint": (_text_fingerprint, _FINGERPRINT_SQL),
     "mm_media_meta": (_mm_meta, _MM_META_SQL),
     "mm_frame_sample": (_mm_frames, _MM_FRAMES_SQL),
     # rows-only (no SQL oracle): KG pipeline + approximate operators
-    "kg_mentions": (_kg_mentions, None),
     "kg_entities": (_kg_entities, None),
     "kg_canonical_triples": (_kg_canonical_triples, None),
     "kg_file_status": (_kg_status, None),

@@ -23,12 +23,23 @@ def tokens_col(text: Column) -> Column:
         .otherwise(F.split(F.trim(text), r"\s+"))
 
 
+# BPE-ish pre-tokenization (GPT-2-style splits, portable subset): letter
+# runs, digit runs, and individual punctuation marks each count as one
+# token. Same character-class semantics in Spark's and DuckDB's regex
+# engines, so the count is oracle-checkable bit-for-bit.
+BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token + character accounting per document."""
+    """Token + character accounting per document: whitespace tokens AND a
+    BPE-ish regex token count (the pre-tokenizer proxy an LLM-data pipeline
+    budgets with — whitespace alone undercounts code/punctuation-dense
+    text)."""
     toks = tokens_col(F.col(text_col))
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RX)).alias("n_bpe_tokens"),
         F.length(F.col(text_col)).alias("n_chars_actual"),
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_chars_nows"),
     )
@@ -74,6 +85,46 @@ def lang_id(df: DataFrame, text_col: str = "text",
         F.round(ratio + 1e-9, 4).alias("en_ratio"),
         F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 100, overlap: int = 20) -> DataFrame:
+    """Split each document into overlapping token windows — the unit a
+    training pipeline actually feeds a model. Chunk starts step by
+    (chunk_tokens - overlap); the last window may be short; empty docs yield
+    no chunks.
+
+    Pure Column exprs (sequence → explode → slice/concat_ws): the explode
+    multiplies rows ~n_tokens/step× inside the scan stage with no shuffle —
+    at 100 TB this is exactly the shape you want (chunking rides the scan;
+    any downstream shuffle operates on chunks, never whole documents)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_starts = F.ceil(n / F.lit(step)).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0))),
+        lambda i: i * step,
+    )
+    out = (
+        df.select("doc_id", toks.alias("_toks"), n.alias("_n"),
+                  starts.alias("_starts"))
+        .filter(F.col("_n") > 0)
+        .select("doc_id", "_toks",
+                F.explode(F.filter("_starts",
+                                   lambda s: s < F.col("_n"))).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / step).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("_toks", F.col("start") + 1,
+                                     chunk_tokens)).alias("chunk_text"),
+            F.least(F.size("_toks") - F.col("start"),
+                    F.lit(chunk_tokens)).alias("chunk_len"),
+        )
+    )
+    return out
 
 
 def grouped_zscore(df: DataFrame, group_col: str = "lang",

@@ -111,3 +111,33 @@ def test_simhash_banded_exact_at_hamming3(spark, corpus_docs):
              .filter("hamming <= 3"))
     want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
     assert got == want
+
+
+def test_chunk_documents_semantics(spark):
+    """Token-window chunking: overlap preserved, last window short, empty
+    docs vanish, full reconstruction covers every token."""
+    from smart_pdf_md_spark.operators.textstats import chunk_documents
+
+    rows = [
+        ("d1", " ".join(f"t{i}" for i in range(250))),  # 3 chunks @ step 80
+        ("d2", "only four small tokens"),               # 1 short chunk
+        ("d3", ""),                                     # no chunks
+        ("d4", "   "),                                  # whitespace-only → none
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=100, overlap=20)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_len)
+           for r in out.collect()}
+
+    assert {k[0] for k in got} == {"d1", "d2"}
+    d1 = [got[("d1", i)] for i in range(4)]
+    toks = [f"t{i}" for i in range(250)]
+    assert d1[0][0].split() == toks[0:100] and d1[0][1] == 100
+    assert d1[1][0].split() == toks[80:180]   # 20-token overlap with chunk 0
+    assert d1[2][0].split() == toks[160:250] and d1[2][1] == 90
+    assert d1[3][0].split() == toks[240:250] and d1[3][1] == 10
+    assert got[("d2", 0)] == ("only four small tokens", 4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
