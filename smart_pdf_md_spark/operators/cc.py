@@ -24,12 +24,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+# Edge sets at or below this size resolve on the driver via union-find (one
+# collect instead of O(diameter) shuffle rounds); larger sets iterate
+# distributed. Entity-link edge sets are vocabulary-bounded, so at any
+# corpus size the distributed path only engages for genuinely huge vocabs.
+LOCAL_CC_MAX_EDGES = 200_000
+
+
+def _cc_local(rows: list) -> list[tuple[str, str]]:
+    """Union-find with component label = lexicographic min node (identical
+    to the distributed fixpoint's converged state by definition)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        a, b = row.name_a, row.name_b
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order keeps the min name at the root
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return sorted((n, find(n)) for n in parent)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         local_max_edges: int = LOCAL_CC_MAX_EDGES) -> DataFrame:
     """edges(name_a, name_b) → (name, component) with component = min name.
 
     Isolated nodes are the caller's concern (left-join the result and
     coalesce to the node itself) — keeps the iteration state minimal.
+    Set ``local_max_edges=0`` to force the distributed fixpoint (parity
+    pinned by `test_linking_scale.py::test_local_and_distributed_paths_agree`).
     """
+    if local_max_edges:
+        head = edges.select("name_a", "name_b").limit(local_max_edges + 1).collect()
+        if len(head) <= local_max_edges:
+            spark = edges.sparkSession
+            labels = _cc_local(head)
+            schema = "name string, component string"
+            if not labels:
+                return spark.createDataFrame([], schema)
+            return spark.createDataFrame(labels, schema)
     # iteration state is edge/vocabulary-sized: keep its partition count
     # proportional (empty 32-way partitions would pay per-task overhead on
     # every one of the O(diameter) rounds)

@@ -74,22 +74,25 @@ def _hash64(token: str) -> int:
     ) & ((1 << 61) - 1)
 
 
+def _sig_np(name: str, cache: dict[str, int]) -> np.ndarray:
+    """MinHash signature of one name (shared by the Arrow UDF and the
+    driver-local fast path — ONE implementation, so the paths cannot
+    drift)."""
+    grams = _ngrams(name or "")
+    hs = np.fromiter(
+        (cache.setdefault(g, _hash64(g)) for g in grams),
+        dtype=np.int64, count=len(grams),
+    )
+    # (len(grams), N_PERM) permuted hashes → column-min
+    return ((hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE).min(axis=0)
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_sig(names: pd.Series) -> pd.Series:
     """Vectorized minhash: per batch, hash each distinct ngram once, then
     signature_i = min over the name's ngrams of (a_i·h + b_i) mod p."""
-    out = []
     cache: dict[str, int] = {}
-    for name in names:
-        grams = _ngrams(name or "")
-        hs = np.fromiter(
-            (cache.setdefault(g, _hash64(g)) for g in grams),
-            dtype=np.int64, count=len(grams),
-        )
-        # (len(grams), N_PERM) permuted hashes → column-min
-        perm = (hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
-        out.append(perm.min(axis=0).tolist())
-    return pd.Series(out)
+    return pd.Series([_sig_np(name, cache).tolist() for name in names])
 
 
 def name_vocabulary(mentions: DataFrame,
@@ -207,15 +210,109 @@ def checkpointed_vocabulary(mentions: DataFrame,
     return name_vocabulary(mentions).coalesce(p).localCheckpoint(eager=True)
 
 
+# Vocabularies at or below this size are linked on the driver in one pass
+# (see link_edges). 50k names ⇒ sub-second numpy work and, via the banding
+# cap, a bounded pair set; above it the distributed path is mandatory.
+LOCAL_LINK_MAX_VOCAB = 50_000
+
+
+def _link_local(name_list: list[str],
+                threshold: float) -> tuple[list[tuple], dict[str, int]]:
+    """Driver-local mirror of candidate_pairs + ngram_tfidf + score_pairs.
+
+    Same signature code (`_sig_np`), same banding, same MAX_BUCKET cap with
+    the same drop accounting, same TF-IDF formula — the only difference is
+    WHERE it runs. Parity with the distributed path is pinned by
+    `test_linking_scale.py::test_local_and_distributed_paths_agree`."""
+    import math
+    from collections import Counter, defaultdict
+
+    r = N_PERM // N_BANDS
+    cache: dict[str, int] = {}
+    buckets: dict[tuple, list[str]] = defaultdict(list)
+    for nm in name_list:
+        sig = _sig_np(nm, cache)
+        for b in range(N_BANDS):
+            buckets[(b, sig[b * r:(b + 1) * r].tobytes())].append(nm)
+
+    dropped_b = dropped_rows = 0
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > MAX_BUCKET:
+            dropped_b += 1
+            dropped_rows += len(members)
+            continue
+        members.sort()
+        for i in range(len(members) - 1):
+            a = members[i]
+            for j in range(i + 1, len(members)):
+                pairs.add((a, members[j]))
+
+    tfs = {nm: Counter(_ngrams(nm)) for nm in name_list}
+    n = len(name_list)
+    df_counts: Counter = Counter()
+    for c in tfs.values():
+        df_counts.update(c.keys())
+    idf = {g: math.log((n + 1.0) / (dfc + 1.0)) + 1.0
+           for g, dfc in df_counts.items()}
+    weights: dict[str, dict[str, float]] = {}
+    for nm, c in tfs.items():
+        w = {g: tf * idf[g] for g, tf in c.items()}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        weights[nm] = {g: v / nrm for g, v in w.items()}
+
+    edges: list[tuple[str, str, float]] = []
+    for a, b in sorted(pairs):
+        wa, wb = weights[a], weights[b]
+        if len(wa) > len(wb):
+            wa, wb = wb, wa
+        cos = sum(v * wb[g] for g, v in wa.items() if g in wb)
+        if cos >= threshold:
+            edges.append((a, b, cos))
+    return edges, {"dropped_buckets": dropped_b,
+                   "dropped_band_rows": dropped_rows}
+
+
+_EDGE_SCHEMA = "name_a string, name_b string, cos double"
+
+
 def link_edges(mentions: DataFrame,
                threshold: float = DEFAULT_COSINE_THRESHOLD,
-               names: DataFrame | None = None) -> DataFrame:
+               names: DataFrame | None = None,
+               local_max_vocab: int = LOCAL_LINK_MAX_VOCAB) -> DataFrame:
     """mentions → similarity edges over the name vocabulary.
 
     Pass a pre-built ``checkpointed_vocabulary`` when the caller also needs
-    the vocabulary (e.g. entity_table) so it is computed exactly once."""
+    the vocabulary (e.g. entity_table) so it is computed exactly once.
+
+    Scale shape: the vocabulary distinct always runs distributed (it reduces
+    the mention stream). The quadratic-ish candidate/rescore stage then sees
+    ONLY vocabulary-sized data — when that fits on the driver
+    (≤ `local_max_vocab` names), one collect + numpy replaces ~a dozen
+    vocabulary-sized shuffle jobs whose per-job latency, not data, is the
+    cost (measured: ~5s fixed per run at any corpus size). Big vocabularies
+    (the 10^12-file regime) take the distributed banding path unchanged.
+    Set ``local_max_vocab=0`` to force distributed."""
     if names is None:
         names = checkpointed_vocabulary(mentions)
+    if local_max_vocab:
+        head = names.limit(local_max_vocab + 1).collect()
+        if len(head) <= local_max_vocab:
+            name_list = [row.name for row in head]
+            edges, drop_stats = _link_local(name_list, threshold)
+            LAST_DROP_METRICS.clear()
+            LAST_DROP_METRICS.update(drop_stats)
+            if drop_stats["dropped_buckets"]:
+                import sys
+                print(f"[linking] dropped {drop_stats['dropped_buckets']} hot "
+                      f"band buckets ({drop_stats['dropped_band_rows']} band "
+                      f"rows) over MAX_BUCKET={MAX_BUCKET}", file=sys.stderr)
+            spark = names.sparkSession
+            if not edges:
+                return spark.createDataFrame([], _EDGE_SCHEMA)
+            return spark.createDataFrame(
+                pd.DataFrame(edges, columns=["name_a", "name_b", "cos"]),
+                schema=_EDGE_SCHEMA)
     pairs = candidate_pairs(names)
     weights = ngram_tfidf(names)
     return score_pairs(pairs, weights, threshold)

@@ -77,3 +77,25 @@ def test_large_vocab_linking_quality_and_bounds(spark, big_vocab_mentions):
         F.countDistinct(F.lower(F.regexp_replace("name", "_", ""))).alias("n_bases"))
     bad = merged.filter("n_bases > 1").count()
     assert bad / N_BASES < 0.05, f"cross-base merges: {bad}"
+
+
+@pytest.mark.slow
+def test_local_and_distributed_paths_agree(spark, big_vocab_mentions):
+    """The driver-local small-vocab fast path must be indistinguishable from
+    the distributed banding/rescore/fixpoint path — same edge set, same
+    cosines (to float-summation-order noise), identical components."""
+    from smart_pdf_md_spark.operators.cc import connected_components
+
+    names = checkpointed_vocabulary(big_vocab_mentions, partitions=8)
+    e_local = {(r.name_a, r.name_b): r.cos
+               for r in link_edges(big_vocab_mentions, names=names).collect()}
+    e_dist_df = link_edges(big_vocab_mentions, names=names, local_max_vocab=0)
+    e_dist = {(r.name_a, r.name_b): r.cos for r in e_dist_df.collect()}
+    assert set(e_local) == set(e_dist)
+    assert max(abs(e_local[k] - e_dist[k]) for k in e_local) < 1e-9
+
+    cc_local = {(r.name, r.component)
+                for r in connected_components(e_dist_df).collect()}
+    cc_dist = {(r.name, r.component)
+               for r in connected_components(e_dist_df, local_max_edges=0).collect()}
+    assert cc_local == cc_dist  # exact: labels are strings, no float path
