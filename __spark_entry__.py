@@ -676,6 +676,29 @@ WHERE len(toks) > 0
 """
 
 
+def _text_scrub(spark, sf):
+    return TS.scrub_text(_t(spark, sf, "documents"))
+
+
+# same four patterns, same order, 'g' flag; RE2 (DuckDB) and Java regex
+# (Spark) agree on this lookaround-free subset
+_SCRUB_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\\s<>"'']+', '<URL>', 'g'),
+        '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+      '\\b(?:[0-9][ -]?){13,18}[0-9]\\b', '<CARD>', 'g') AS text_scrubbed
+  FROM documents
+)
+SELECT doc_id, text_scrubbed, text != text_scrubbed AS was_redacted FROM s
+"""
+
+
 def _text_quality(spark, sf):
     return TS.quality_score(_t(spark, sf, "documents"))
 
@@ -808,11 +831,6 @@ def _kg_canonical_triples(spark, sf):
     ents = entity_table(plan["mentions"], link_edges(plan["mentions"]))
     return canonical_triples(plan["triples"], ents) \
         .select("subj", "pred", "obj", "obj_raw", "entity_id")
-
-
-def _kg_status(spark, sf):
-    from smart_pdf_md_spark.plans.pipeline import build_triples
-    return build_triples(spark, _kg_corpus(spark))["status"]
 
 
 def _j7_asof_join(spark, sf):
@@ -971,7 +989,7 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     # rows-only (no SQL oracle): KG pipeline + approximate operators
     "kg_entities": (_kg_entities, None),
     "kg_canonical_triples": (_kg_canonical_triples, None),
-    "kg_file_status": (_kg_status, None),
+    "text_scrub": (_text_scrub, _SCRUB_SQL),
     "j7_asof_join": (_j7_asof_join, _J7_SQL),
     "g1_two_hop": (_g1_two_hop, _G1_SQL),
     "g2_degrees": (_g2_degrees, _G2_SQL),

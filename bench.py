@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality_score",
     "text_fingerprint",
+    "text_chunking",
+    "text_scrub",
     "j7_asof_join",
     "g1_two_hop",
     "agg_cube",

@@ -127,6 +127,33 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     return out
 
 
+# PII/no-train scrubbing patterns (portable across Java-regex and RE2:
+# no backrefs, no lookaround). Order matters: emails before bare domains.
+SCRUB_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s<>\"']+", "<URL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b(?:[0-9][ -]?){13,18}[0-9]\b", "<CARD>"),
+)
+
+
+def scrub_text(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_scrubbed") -> DataFrame:
+    """Redact emails / URLs / IPs / card-like digit runs — the standard
+    pre-training hygiene pass. A chain of regexp_replace Column exprs:
+    scan-side, codegen'd, no Python, no shuffle; patterns chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB) so the operator
+    stays oracle-checkable."""
+    col = F.col(text_col)
+    for rx, token in SCRUB_PATTERNS:
+        col = F.regexp_replace(col, rx, token)
+    return df.select(
+        "doc_id",
+        col.alias(out_col),
+        (F.col(text_col) != col).alias("was_redacted"),
+    )
+
+
 def grouped_zscore(df: DataFrame, group_col: str = "lang",
                    value_col: str = "n_chars") -> DataFrame:
     """Per-group z-score normalization via applyInPandas (grouped-map UDF —

@@ -141,3 +141,21 @@ def test_chunk_documents_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_scrub_text_redacts_pii(spark):
+    from smart_pdf_md_spark.operators.textstats import scrub_text
+
+    rows = [
+        ("d1", "mail me at bob.smith+x@corp.example.org or visit "
+               "https://internal.example.com/path?q=1 from 10.0.12.7"),
+        ("d2", "card 4111 1111 1111 1111 expires soon"),
+        ("d3", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.text_scrubbed, r.was_redacted)
+           for r in scrub_text(df).collect()}
+    assert got["d1"][0] == "mail me at <EMAIL> or visit <URL> from <IP>"
+    assert got["d1"][1] is True
+    assert got["d2"] == ("card <CARD> expires soon", True)
+    assert got["d3"] == ("nothing sensitive here", False)

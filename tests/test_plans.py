@@ -65,3 +65,12 @@ def test_canonical_entity_join_is_broadcast(spark, corpus_sdf):
     ents = entity_table(m, link_edges(m, names=names), names=names)
     canon = canonical_triples(triples_from_mentions(m, distinct=False), ents)
     assert "BroadcastHashJoin" in _plan(canon)
+
+
+def test_chunking_is_scan_side(spark):
+    """chunk_documents rides the scan: no Exchange anywhere in the plan, and
+    the read schema is pruned to (doc_id, text)."""
+    p = _plan(em.queries()["text_chunking"](spark, SF))
+    assert "Exchange" not in p
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs

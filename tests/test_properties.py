@@ -63,3 +63,26 @@ def test_enclosing_assignment_is_order_independent(lines):
         [dict(m) for m in m1], key=lambda m: (m["name"], m["line"]))
     fixed = dedupe_mentions(assign_enclosing(shuffled))
     assert fixed == m1
+
+
+@given(n_tokens=st.integers(min_value=0, max_value=400),
+       chunk=st.integers(min_value=2, max_value=60),
+       overlap=st.integers(min_value=0, max_value=59))
+@settings(max_examples=30, deadline=None)
+def test_chunking_covers_every_token(n_tokens, chunk, overlap):
+    """Driver-side mirror of chunk_documents' windowing arithmetic: every
+    token lands in >=1 chunk, starts step uniformly, last chunk may be
+    short, empty docs produce nothing."""
+    import math
+    if overlap >= chunk:
+        return
+    step = chunk - overlap
+    starts = [s for s in range(0, max(n_tokens, 1), step) if s < n_tokens]
+    if n_tokens == 0:
+        assert starts == []
+        return
+    assert len(starts) == math.ceil(n_tokens / step)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + chunk, n_tokens)))
+    assert covered == set(range(n_tokens))
