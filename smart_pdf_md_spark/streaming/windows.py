@@ -70,3 +70,15 @@ def running_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival of each key wins; duplicate
+    arrivals within the watermark horizon are dropped by engine-managed
+    state (dropDuplicatesWithinWatermark), so state size is bounded by the
+    horizon — the streaming face of operators/dedup.exact_dedup. At scale
+    this is the at-least-once → effectively-once repair stage in front of
+    the KG sink."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

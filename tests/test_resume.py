@@ -150,3 +150,48 @@ def test_incremental_extraction_anti_join(spark, corpus_sdf, run_dir, monkeypatc
     # third pass: nothing pending
     m3, n3 = extract_incremental(spark, corpus_sdf, run_dir)
     assert n3 == 0
+
+
+def test_kill9_mid_run_resumes_from_last_commit(tmp_path):
+    """North-rule resumability, end-to-end: SIGKILL the driver process the
+    moment the 'edges' stage commits, then rerun — the committed stages must
+    be served from disk untouched (mtimes identical) and only the later
+    stages recomputed."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    rd = str(tmp_path / "run")
+    cmd = [sys.executable, "-m", "smart_pdf_md_spark.run",
+           "--corpus-size", "300", "--run-dir", rd, "--master", "local[2]",
+           "--no-env-warnings"]
+    proc = subprocess.Popen(cmd, cwd="/root/repo",
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    marker = os.path.join(rd, "edges", "_COMMITTED")
+    deadline = time.time() + 240
+    while time.time() < deadline and not os.path.exists(marker):
+        if proc.poll() is not None:
+            raise AssertionError("run finished before the kill point")
+        time.sleep(0.05)
+    assert os.path.exists(marker), "edges never committed"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    committed = [s for s in ("mentions", "triples", "edges", "entities",
+                             "triples_canonical")
+                 if stage_committed(rd, s)]
+    assert "edges" in committed
+    assert "triples_canonical" not in committed  # we really did die mid-run
+    before = {s: _data_files(rd, s) for s in committed}
+
+    r = subprocess.run(cmd + ["--summary-json", str(tmp_path / "s.json")],
+                       cwd="/root/repo", capture_output=True, text=True,
+                       timeout=600)
+    summary = json.load(open(tmp_path / "s.json"))
+    assert all(summary["resumed"][s] for s in committed), summary["resumed"]
+    assert summary["triples"] > 0
+    after = {s: _data_files(rd, s) for s in committed}
+    assert before == after, "committed stages were rewritten on resume"
+    assert stage_committed(rd, "triples_canonical")

@@ -67,3 +67,23 @@ def test_stateful_running_counts(spark, events_dir):
     n_updates = out.count()
     n_users = batch.count()
     assert n_updates > n_users
+
+
+def test_streaming_dedup_drops_duplicate_arrivals(spark, tmp_path):
+    """Plant the same events file twice in the stream dir: the deduped
+    stream must emit each event_id exactly once (= batch distinct)."""
+    from smart_pdf_md_spark.streaming.windows import streaming_dedup
+
+    src = spark.read.parquet(f"{SF_EVENTS}/events.parquet").limit(500)
+    out = str(tmp_path / "dup_events")
+    src.write.parquet(out)
+    src.write.mode("append").parquet(out)  # every row arrives twice
+
+    stream = read_event_stream(spark, out)
+    q = (streaming_dedup(stream).writeStream
+         .format("memory").queryName("dedup_sink")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink").toPandas()
+    assert len(got) == src.count()
+    assert got["event_id"].is_unique
