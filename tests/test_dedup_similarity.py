@@ -159,3 +159,23 @@ def test_scrub_text_redacts_pii(spark):
     assert got["d1"][1] is True
     assert got["d2"] == ("card <CARD> expires soon", True)
     assert got["d3"] == ("nothing sensitive here", False)
+
+
+def test_scrub_text_idempotent(spark):
+    """Redaction tokens must never re-match any pattern: scrub(scrub(x)) ==
+    scrub(x), incl. adversarial near-miss inputs."""
+    from smart_pdf_md_spark.operators.textstats import scrub_text
+
+    rows = [
+        ("a1", "a@b.co b@c.io https://x.y 1.2.3.4 5555 4444 3333 2222"),
+        ("a2", "<EMAIL> literal tokens persist <URL> <IP> <CARD>"),
+        ("a3", "v1.2.3.4000 not an ip, 12-34 not a card, ftp://no.scheme"),
+        ("a4", "x" * 5000 + " tail@host.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = scrub_text(df)
+    twice = scrub_text(once.select("doc_id",
+                                   F.col("text_scrubbed").alias("text")))
+    a = {r.doc_id: r.text_scrubbed for r in once.collect()}
+    b = {r.doc_id: r.text_scrubbed for r in twice.collect()}
+    assert a == b
