@@ -201,14 +201,52 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 6, n_tables: int = 6,
+                               dim: int = 64) -> DataFrame:
+    """Embedding near-dup AT SCALE: hyperplane-LSH buckets → within-bucket
+    pairs → exact cosine verify. The join is an equi-shuffle on (table,
+    bucket) with |bucket|² pair work, never n² — the scale path for which
+    `embedding_cosine_pairs` is the exact baseline. Recall grows with
+    n_tables (high-cosine pairs land in a shared bucket in ≥1 table w.h.p.);
+    precision is exact because every candidate is cosine-verified."""
+    from .similarity import _bucket_col, _hyperplanes
+
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
+                      norm.alias("nrm"))
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        bucketed = base.withColumn("bucket", _bucket_col("v", planes)) \
+                       .withColumn("table", F.lit(t))
+        a = bucketed.select("table", "bucket", F.col("id").alias("id_a"),
+                            F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = bucketed.select("table", "bucket", F.col("id").alias("id_b"),
+                            F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        p = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b",
+                F.round(dot / (F.col("na") * F.col("nb")) + 1e-9, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold.
 
-    Brute-force O(n²) self-join — correct baseline; the ANN variant in
-    operators/similarity.py is the at-scale path (bucketed so the join is
-    |bucket|² not n²)."""
+    Brute-force O(n²) self-join — correct baseline; the at-scale paths are
+    `embedding_cosine_pairs_lsh` (bucketed pair generation, exact verify)
+    and the ANN top-k in operators/similarity.py."""
     vec = F.col(vec_col).cast("array<double>")  # float64 for oracle parity
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))

@@ -179,3 +179,51 @@ def test_scrub_text_idempotent(spark):
     a = {r.doc_id: r.text_scrubbed for r in once.collect()}
     b = {r.doc_id: r.text_scrubbed for r in twice.collect()}
     assert a == b
+
+
+def test_embedding_lsh_dedup_recall_vs_exact(spark):
+    """LSH-bucketed embedding dedup: every emitted pair is exact-verified
+    (subset of the brute-force pair set, same cosines) and recall on planted
+    near-dup clusters clears 0.8."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(40):  # 40 clusters of 3 near-identical vectors
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        base = [x / nrm for x in base]
+        for _ in range(3):
+            noisy = [x + rng.gauss(0, 0.01) for x in base]
+            rows.append((vid, noisy)); vid += 1
+    for _ in range(80):  # unrelated background vectors
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(64)])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in D.embedding_cosine_pairs(emb, threshold=0.95).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in D.embedding_cosine_pairs_lsh(emb, threshold=0.95).collect()}
+    assert set(lsh) <= set(exact)                 # precision: exact-verified
+    assert all(lsh[k] == exact[k] for k in lsh)   # identical cosines
+    assert len(exact) >= 40                        # clusters really are dups
+    assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)/len(exact):.2f}"
+
+
+def test_local_link_path_reports_hot_bucket_drops(spark):
+    """The driver-local linking fast path must surface the same hot-bucket
+    drop metrics as the distributed path (same 'ab'*k one-bucket fixture)."""
+    from smart_pdf_md_spark.operators.linking import (
+        LAST_DROP_METRICS,
+        N_BANDS,
+        link_edges,
+    )
+
+    hot = [("ab" * k, "def") for k in range(2, 102)]
+    mentions = spark.createDataFrame(hot, ["name", "kind"])
+    edges = link_edges(mentions)  # 100 names → local path
+    assert edges.count() == 0
+    assert LAST_DROP_METRICS == {"dropped_buckets": N_BANDS,
+                                 "dropped_band_rows": N_BANDS * len(hot)}
