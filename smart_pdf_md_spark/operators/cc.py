@@ -1,7 +1,10 @@
 """Connected components by iterative DataFrame joins (J3) + entity table.
 
 GraphFrames is not installed (verified, SURVEY.md §2.3 J3), so this is the
-classic label-propagation-to-minimum formulation: every node's label
+classic label-propagation-to-minimum formulation (the "small-star"-style
+min-label iteration of Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC 2014; the driver-local fast path is textbook union-find,
+Tarjan 1975): every node's label
 converges to the lexicographically smallest node id in its component. The
 driver loop is the ONLY place control returns to the driver in the whole
 pipeline (the fixpoint count — SURVEY.md §3.3); each round is checkpointed

@@ -60,7 +60,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_posting: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join.
+    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join
+    (the postings/prefix-style candidate generation of set-similarity joins —
+    cf. "Scalable and Robust Set Similarity Join", ICDE 2018, PAPERS.md).
 
     Shared-shingle counting gives |A∩B|; set sizes give the union. Postings
     longer than `max_posting` (boilerplate shingles) are dropped — at corpus
@@ -147,7 +149,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document via one Arrow pass (numpy bit votes: each
+    """64-bit SimHash (Charikar, "Similarity estimation techniques from
+    rounding algorithms", STOC 2002) per document via one Arrow pass (numpy bit votes: each
     distinct token votes ±1 on its md5-derived bits; the signature is the
     sign vector), plus 4×16-bit band columns for hamming-bucketed joins."""
 

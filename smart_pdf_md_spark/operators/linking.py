@@ -1,5 +1,11 @@
 """Candidate entity linking: char-ngram MinHash banding + TF-IDF cosine (J2).
 
+Algorithms (public literature): MinHash resemblance sketching (Broder,
+"On the resemblance and containment of documents", SEQUENCES 1997); banded
+LSH for candidate generation (Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets", ch. 3); TF-IDF cosine rescoring is the standard IR weighting
+(Salton & Buckley 1988).
+
 No reference equivalent (the reference is single-table dataflow, SURVEY.md
 §2.3) — mandated by the north_rule: "score candidate entity links with
 char-ngram MinHash + TF-IDF cosine".

@@ -180,7 +180,8 @@ def grouped_zscore(df: DataFrame, group_col: str = "lang",
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: lexicographic min over md5(token 3-gram) — a
-    winnowing-style content signature that is stable under whitespace layout
+    winnowing-style content signature (cf. Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) that is stable under whitespace layout
     and cheap to compare across engines (md5 hex is identical in Spark and
     DuckDB). Documents shorter than n tokens fall back to md5(text)."""
     toks = tokens_col(F.col(text_col))
