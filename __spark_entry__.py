@@ -943,8 +943,15 @@ def _ann_lsh(spark, sf):
 
 
 def _mm_features(spark, sf):
+    # the driver canonicalizer hashes cell values (pandas Categorical), which
+    # cannot hash Python lists — project the array<double> feature to a
+    # deterministic scalar string (r2 VERDICT item 1)
     media = MM.documents_as_media(_t(spark, sf, "documents"))
-    return MM.extract_features(media).select("media_id", "media_type", "feature")
+    feats = MM.extract_features(media)
+    feature_str = F.array_join(
+        F.transform("feature", lambda x: F.format_string("%.6f", x)), ",")
+    return feats.select("media_id", "media_type",
+                        feature_str.alias("feature"))
 
 
 _PAIRS: dict[str, tuple[Callable, str | None]] = {

@@ -244,12 +244,25 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           max_rows: int = 100_000) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold.
 
-    Brute-force O(n²) self-join — correct baseline; the at-scale paths are
-    `embedding_cosine_pairs_lsh` (bucketed pair generation, exact verify)
-    and the ANN top-k in operators/similarity.py."""
+    Brute-force O(n²) self-join — the exact BASELINE for recall tests and
+    small inputs only. **Prefer `embedding_cosine_pairs_lsh`** (bucketed
+    pair generation, exact cosine verify) or the ANN top-k in
+    operators/similarity.py for anything production-sized: at 100 TB a
+    cartesian is a detonation, so this guard counts the input and refuses
+    above ``max_rows`` (set ``max_rows=None`` only if you truly mean n²)."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is an O(n²) crossJoin baseline; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"embedding_cosine_pairs_lsh (bucketed, exact-verified) or "
+                f"similarity.topk_lsh at this scale, or pass a larger "
+                f"max_rows / max_rows=None to force the cartesian.")
     vec = F.col(vec_col).cast("array<double>")  # float64 for oracle parity
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))

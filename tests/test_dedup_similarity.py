@@ -227,3 +227,49 @@ def test_local_link_path_reports_hot_bucket_drops(spark):
     assert edges.count() == 0
     assert LAST_DROP_METRICS == {"dropped_buckets": N_BANDS,
                                  "dropped_band_rows": N_BANDS * len(hot)}
+
+
+def test_embedding_cosine_cartesian_guard(spark):
+    """The O(n²) exact baseline refuses inputs above max_rows (r2 VERDICT
+    item 2) with a pointer to the LSH scale path; raising the bound or
+    passing None forces it through."""
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="embedding_cosine_pairs_lsh"):
+        D.embedding_cosine_pairs(emb, threshold=0.9, max_rows=10).count()
+    assert D.embedding_cosine_pairs(emb, threshold=0.9, max_rows=20).count() >= 0
+    assert D.embedding_cosine_pairs(emb, threshold=0.9, max_rows=None).count() >= 0
+
+
+def test_minhash_lsh_dedup_recall_vs_exact_jaccard(spark):
+    """Recall gate for the MinHash banding parameters (N_PERM=32, 16 bands
+    of r=2): on planted near-dup clusters (true token-3-gram Jaccard ≈ 0.9),
+    minhash_dedup_pairs at threshold 0.7 must recover ≥ 0.8 of the exact
+    ngram_jaccard_pairs at the same threshold — the MinHash analogue of
+    test_embedding_lsh_dedup_recall_vs_exact."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(4000)]
+    rows, did = [], 0
+    for c in range(30):  # 30 clusters of 3 near-identical docs
+        base = [rng.choice(vocab) for _ in range(120)]
+        for _ in range(3):
+            doc = list(base)
+            # one token swap per copy → pairwise shingle Jaccard ≈ 0.9,
+            # comfortably above the 0.7 gate (32-perm est std ≈ 0.05; pairs
+            # planted AT the threshold would coin-flip the est filter)
+            doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((did, " ".join(doc))); did += 1
+    for _ in range(60):  # unrelated background docs
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(120))))
+        did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {(r.id_a, r.id_b)
+             for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in D.minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    assert len(exact) >= 30  # the clusters really are near-dups
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"MinHash-LSH recall too low: {recall:.2f}"

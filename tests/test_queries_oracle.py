@@ -32,10 +32,13 @@ def ddb():
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    # Mirror the driver canonicalizer's hashing exactly: it sorts/uniques via
+    # pandas Categorical, which cannot hash list cells. NO coddling (the
+    # r1/r2 local-vs-driver divergences both hid behind a list→tuple branch
+    # here) — a query returning array columns must fail locally too.
+    pd.util.hash_pandas_object(df, index=False)  # raises TypeError on lists
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, tuple)):
-            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
         # normalize ints (spark int32 vs duckdb int64 etc.)
         if str(s.dtype).startswith(("int", "uint", "Int")):
             df[c] = s.astype("int64")
@@ -77,9 +80,12 @@ def test_query_matches_oracle(spark, ddb, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
+    # round-trip the SAME canon the oracle pairs use: the driver
+    # canonicalizes rows-only results too (r2: mm_extract_features ran
+    # locally but died in the driver's Categorical hash on a list column)
+    got = _canon(df.toPandas())
     assert len(df.schema.fields) > 0
+    assert len(got) >= 0
 
 
 def test_entry_smoke(spark):
@@ -88,3 +94,11 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert {f.name for f in df.schema.fields} == {
         "label", "n_docs", "avg_quality", "avg_tokens", "n_langs", "exemplar_doc"}
+
+
+def test_pairs_is_exactly_fifty():
+    """The driver's correctness sweep caps at 50 queries (dict-order prefix;
+    r1 silently lost 3 rows past the cap). Adding a query means merging into
+    or replacing an existing slot — this pin makes overflow a test failure
+    instead of a silent driver omission."""
+    assert len(entrymod._PAIRS) == 50, len(entrymod._PAIRS)
