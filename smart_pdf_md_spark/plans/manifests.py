@@ -13,7 +13,7 @@ file, behind one small interface:
 
     run_dir/<stage>/data/b_<run_id>/      one immutable batch dir per commit
     run_dir/<stage>/manifest_<run_id>.parquet  (stage, partition_id,
-                                           row_count, sha256_agg, run_id)
+                                           row_count, digest_xxh64, run_id)
     run_dir/<stage>/_COMMITTED            JSON snapshot pointer, published
                                           LAST via temp-file + os.replace:
                                           {"run_id", "batches", "manifest"}
@@ -23,10 +23,12 @@ resolve the marker and read ONLY the batch dirs it lists. A run killed
 between data-write and marker-write leaves an orphaned batch dir that no
 reader ever sees — in particular an interrupted incremental APPEND cannot
 poison `pending_inputs` into serving half-committed rows under the old
-run_id (ADVICE r1). Per-partition `sha256_agg` is an order-insensitive
-digest (bit_xor of per-row xxhash64 over the key columns), so two runs of
-the same input can be compared partition-by-partition without sorting — the
-A4 progress/metrics analogue.
+run_id (ADVICE r1). Per-partition `digest_xxh64` is an order-insensitive
+digest (bit_xor of per-row xxhash64 over the key columns — named for the
+algorithm it actually uses; pre-r3 snapshots called it `sha256_agg` and
+`read_manifest` renames on read), so two runs of the same input can be
+compared partition-by-partition without sorting — the A4 progress/metrics
+analogue.
 
 File-level incremental resume (J4): `pending_inputs` anti-joins the input
 against the file_ids already present in a committed mentions stage, so an
@@ -126,8 +128,11 @@ def read_manifest(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
     if marker is None:
         raise FileNotFoundError(f"stage {stage!r} has no committed snapshot "
                                 f"under {run_dir!r}")
-    return spark.read.parquet(
+    m = spark.read.parquet(
         os.path.join(_stage_dir(run_dir, stage), marker["manifest"]))
+    if "sha256_agg" in m.columns:  # pre-r3 snapshots used a lying name
+        m = m.withColumnRenamed("sha256_agg", "digest_xxh64")
+    return m
 
 
 def commit_stage(
@@ -154,11 +159,21 @@ def commit_stage(
     run_id = run_id or uuid.uuid4().hex
     prev = _read_marker(run_dir, stage) if mode == "append" else None
 
+    prev_batches = (prev or {}).get("batches")
+    if prev is not None and prev_batches is None:
+        # Legacy snapshot (plain run_id marker, loose files under data/):
+        # appending with only the new batch in the pointer would silently
+        # drop every previously committed row (ADVICE r2). Migrate first:
+        # hardlink the loose files into an immutable batch dir — the legacy
+        # view stays byte-identical until the pointer swap publishes the new
+        # snapshot, so a kill anywhere in between loses nothing; the loose
+        # originals are GC'd only after the swap.
+        prev_batches = [_migrate_legacy_data(data_dir, prev.get("run_id"))]
+
     batch = f"b_{run_id}"
     df.write.mode("overwrite").parquet(os.path.join(data_dir, batch))
 
-    prev_batches = (prev or {}).get("batches") or []
-    batches = prev_batches + [batch]
+    batches = (prev_batches or []) + [batch]
     committed = spark.read.parquet(
         *[os.path.join(data_dir, b) for b in batches])
     digest = F.bit_xor(F.xxhash64(*[F.col(c) for c in key_cols]))
@@ -167,11 +182,11 @@ def commit_stage(
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("row_count"),
-            F.format_string("%016x", digest).alias("sha256_agg"),
+            F.format_string("%016x", digest).alias("digest_xxh64"),
         )
         .withColumn("stage", F.lit(stage))
         .withColumn("run_id", F.lit(run_id))
-        .select("stage", "partition_id", "row_count", "sha256_agg", "run_id")
+        .select("stage", "partition_id", "row_count", "digest_xxh64", "run_id")
     )
     manifest_name = f"manifest_{run_id}.parquet"
     manifest.write.mode("overwrite").parquet(os.path.join(sdir, manifest_name))
@@ -186,16 +201,56 @@ def commit_stage(
     return committed
 
 
+def _migrate_legacy_data(data_dir: str, legacy_run_id: str | None) -> str:
+    """Hardlink (copy if cross-device) every loose entry under data/ into a
+    fresh immutable batch dir and return its name. The loose originals are
+    left in place — the legacy marker keeps resolving to the exact committed
+    view until the new pointer is published; _gc_stage removes them after."""
+    batch = f"b_legacy_{legacy_run_id or uuid.uuid4().hex}"
+    dst_root = os.path.join(data_dir, batch)
+    os.makedirs(dst_root, exist_ok=True)
+    for name in os.listdir(data_dir):
+        if name.startswith("b_"):
+            continue
+        src = os.path.join(data_dir, name)
+        dst = os.path.join(dst_root, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, copy_function=_link_or_copy,
+                            dirs_exist_ok=True)
+        else:
+            _link_or_copy(src, dst)
+    return batch
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    if os.path.exists(dst):
+        return  # idempotent re-migration after a kill mid-link
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def _gc_stage(sdir: str, keep_batches: set[str], keep_manifest: str) -> None:
     """After the pointer swap, drop batch dirs / manifests no snapshot
-    references (orphans of killed commits, superseded overwrites)."""
+    references (orphans of killed commits, superseded overwrites) and any
+    loose legacy files already migrated into a batch dir."""
     data_dir = os.path.join(sdir, "data")
     if os.path.isdir(data_dir):
         for d in os.listdir(data_dir):
-            if d.startswith("b_") and d not in keep_batches:
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+            if d.startswith("b_") and d in keep_batches:
+                continue
+            p = os.path.join(data_dir, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
     for f in os.listdir(sdir):
-        if f.startswith("manifest_") and f != keep_manifest:
+        if (f.startswith("manifest_") or f == "manifest.parquet") \
+                and f != keep_manifest:
             shutil.rmtree(os.path.join(sdir, f), ignore_errors=True)
 
 

@@ -195,3 +195,54 @@ def test_kill9_mid_run_resumes_from_last_commit(tmp_path):
     after = {s: _data_files(rd, s) for s in committed}
     assert before == after, "committed stages were rewritten on resume"
     assert stage_committed(rd, "triples_canonical")
+
+
+def _make_legacy_snapshot(spark, run_dir: str, stage: str, rows) -> None:
+    """Hand-build a pre-r2 snapshot: loose parquet directly under data/,
+    a plain-text run_id marker, and a manifest.parquet with the old
+    `sha256_agg` column name."""
+    sdir = os.path.join(run_dir, stage)
+    df = spark.createDataFrame(rows, ["file_id", "val"])
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sdir, "data"))
+    spark.createDataFrame(
+        [(stage, 0, len(rows), "0" * 16, "legacyrun")],
+        ["stage", "partition_id", "row_count", "sha256_agg", "run_id"],
+    ).write.mode("overwrite").parquet(os.path.join(sdir, "manifest.parquet"))
+    with open(os.path.join(sdir, "_COMMITTED"), "w") as f:
+        f.write("legacyrun")
+
+
+def test_append_over_legacy_snapshot_keeps_all_rows(spark, run_dir):
+    """ADVICE r2 (medium): mode='append' over a legacy-format snapshot must
+    NOT truncate to the new batch — the 10 legacy rows survive the append of
+    5, the legacy loose files are migrated into a batch dir, and the old
+    manifest column name is shimmed on read."""
+    from smart_pdf_md_spark.plans.manifests import commit_stage, stage_run_id
+
+    stage = "mentions"
+    _make_legacy_snapshot(spark, run_dir, stage,
+                          [(f"f{i}", i) for i in range(10)])
+    assert stage_run_id(run_dir, stage) == "legacyrun"
+    assert read_stage(spark, run_dir, stage).count() == 10
+    # legacy manifest read-shim: old column name surfaces as digest_xxh64
+    assert "digest_xxh64" in read_manifest(spark, run_dir, stage).columns
+
+    new = spark.createDataFrame([(f"g{i}", i) for i in range(5)],
+                                ["file_id", "val"])
+    committed = commit_stage(new, run_dir, stage, key_cols=["file_id"],
+                             mode="append")
+    assert committed.count() == 15  # was 5 before the migration fix
+    got = {r.file_id for r in read_stage(spark, run_dir, stage).collect()}
+    assert got == {f"f{i}" for i in range(10)} | {f"g{i}" for i in range(5)}
+    m = read_manifest(spark, run_dir, stage).toPandas()
+    assert "digest_xxh64" in m.columns and "sha256_agg" not in m.columns
+    assert m["row_count"].sum() == 15
+
+    # loose legacy files were GC'd after the pointer swap; batches remain
+    data_dir = os.path.join(run_dir, stage, "data")
+    assert all(d.startswith("b_") for d in os.listdir(data_dir))
+
+    # appending again over the (now new-format) snapshot keeps accumulating
+    commit_stage(spark.createDataFrame([("h0", 0)], ["file_id", "val"]),
+                 run_dir, stage, key_cols=["file_id"], mode="append")
+    assert read_stage(spark, run_dir, stage).count() == 16
