@@ -71,10 +71,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     Set ``local_max_edges=0`` to force the distributed fixpoint (parity
     pinned by `test_linking_scale.py::test_local_and_distributed_paths_agree`).
     """
+    edges = edges.select("name_a", "name_b")
+    probed = False
     if local_max_edges:
-        head = edges.select("name_a", "name_b").limit(local_max_edges + 1).collect()
+        # persist across the probe: without it, a big edge set pays the full
+        # linking lineage TWICE — once for the limit-collect, once when the
+        # distributed fixpoint re-reads edges (ADVICE r2). Columnar persist,
+        # pruned to the two key columns, released as soon as `sym` is
+        # checkpointed (or immediately on the local path).
+        edges = edges.persist()
+        probed = True
+        head = edges.limit(local_max_edges + 1).collect()
         if len(head) <= local_max_edges:
             spark = edges.sparkSession
+            edges.unpersist()
             labels = _cc_local(head)
             schema = "name string, component string"
             if not labels:
@@ -90,6 +100,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
     ).distinct()
     sym = sym.coalesce(p).localCheckpoint(eager=True)
+    if probed:
+        edges.unpersist()  # sym is materialized; the probe cache is done
 
     labels = (
         sym.select(F.col("src").alias("name"))

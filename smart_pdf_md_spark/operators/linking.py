@@ -129,14 +129,15 @@ def candidate_pairs(names: DataFrame,
         ).alias("band", "band_sig"),
     ).withColumn("band_hash", F.xxhash64(F.col("band"), F.col("band_sig"))) \
      .drop("band_sig")
-    # cap pathological buckets — bounded AND counted (never silent)
+    # cap pathological buckets — bounded AND counted (never silent). The hot
+    # set is tiny (≤ n_band_rows / MAX_BUCKET buckets), so collect it once
+    # and anti-join against a local relation: one computation, no persist to
+    # leak for the session lifetime (ADVICE r2), and the executed plan never
+    # recomputes the bucket-size aggregation.
     bucket_sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bn"))
-    hot = bucket_sizes.filter(F.col("bn") > MAX_BUCKET).persist()
-    drop_row = hot.agg(
-        F.count("*").alias("k"),
-        F.coalesce(F.sum("bn"), F.lit(0)).alias("rows")).collect()[0]
-    drop_stats = {"dropped_buckets": int(drop_row["k"]),
-                  "dropped_band_rows": int(drop_row["rows"])}
+    hot_rows = bucket_sizes.filter(F.col("bn") > MAX_BUCKET).collect()
+    drop_stats = {"dropped_buckets": len(hot_rows),
+                  "dropped_band_rows": int(sum(r["bn"] for r in hot_rows))}
     LAST_DROP_METRICS.clear()
     LAST_DROP_METRICS.update(drop_stats)
     if metrics is not None:
@@ -146,7 +147,11 @@ def candidate_pairs(names: DataFrame,
         print(f"[linking] dropped {drop_stats['dropped_buckets']} hot band "
               f"buckets ({drop_stats['dropped_band_rows']} band rows) over "
               f"MAX_BUCKET={MAX_BUCKET}", file=sys.stderr)
-    bands = bands.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+    if hot_rows:
+        hot = names.sparkSession.createDataFrame(
+            [(r["band"], r["band_hash"]) for r in hot_rows],
+            "band int, band_hash bigint")
+        bands = bands.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
