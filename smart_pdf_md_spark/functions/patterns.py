@@ -17,8 +17,16 @@ These functions define the semantics once; the pure-Python oracle
 call them, so the P/R gate measures the *distributed assembly* (routing,
 chunking, fallback, shuffles), not incidental regex drift.
 
-Mention record: ``(kind, name, qualifier, line, enclosing)`` with
-``kind ∈ {import, def, call, doc_entity}``.
+Mention record: ``(kind, name, qualifier, line, enclosing, span)`` with
+``kind ∈ {import, def, call, doc_entity}`` and ``span = [col_start,
+col_end)`` — 0-based character columns of the name token on its line (the
+SURVEY §1.2 source-range analogue of the reference's per-page offsets,
+core.py:264-272). Regex/doc-entity spans come from the match group;
+AST spans from node column offsets (best-effort token search for def/import
+names, whose AST nodes start at the keyword). For doc entities the span is
+relative to the docstring's own line text (the quoted block, not the file
+line). Deterministic either way — the oracle shares this code, so the
+exact-mentions gate pins spans too.
 """
 
 from __future__ import annotations
@@ -157,9 +165,11 @@ def extract_regex_mentions(content: str, lang: str, line_offset: int = 0) -> lis
                     continue
                 if _DEF_KEYWORD_BEFORE.search(content[max(0, m.start(1) - 12):m.start(1)]):
                     continue
-            line = bisect.bisect_right(starts, m.start(1)) + line_offset
+            li = bisect.bisect_right(starts, m.start(1))  # 1-based, chunk-local
+            ls = starts[li - 1]
             mentions.append({"kind": kind, "name": name, "qualifier": "",
-                             "line": line, "enclosing": ""})
+                             "line": li + line_offset, "enclosing": "",
+                             "span": [m.start(1) - ls, m.end(1) - ls]})
     # enclosing def for calls: nearest preceding def (regex route can't see
     # scope ends; deterministic heuristic shared with the oracle)
     return _dedupe(assign_enclosing(mentions))
@@ -172,10 +182,26 @@ def _doc_entities(doc: str, start_line: int) -> list[dict]:
     out = []
     starts = _line_starts(doc)
     for m in _DOC_ENTITY_RX.finditer(doc):
-        line = start_line + bisect.bisect_right(starts, m.start(1)) - 1
+        li = bisect.bisect_right(starts, m.start(1))
+        ls = starts[li - 1]
         out.append({"kind": "doc_entity", "name": m.group(1), "qualifier": "",
-                    "line": line, "enclosing": ""})
+                    "line": start_line + li - 1, "enclosing": "",
+                    "span": [m.start(1) - ls, m.end(1) - ls]})
     return out
+
+
+def _span_find(lines: list[str], lineno: int, col: int, token: str) -> list[int]:
+    """Locate `token` on 1-based line `lineno` at/after column `col` — used
+    where the AST node starts at a keyword, not at the name itself. Falls
+    back to [col, col+len) when the token isn't literally on that line
+    (multiline statements); always deterministic."""
+    line = lines[lineno - 1] if 0 < lineno <= len(lines) else ""
+    i = line.find(token, col)
+    if i < 0:
+        i = line.find(token)
+    if i < 0:
+        return [col, col + len(token)]
+    return [i, i + len(token)]
 
 
 _AST_DEF_TYPES = (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
@@ -190,6 +216,7 @@ def extract_ast_mentions(content: str) -> list[dict]:
     recursive iter_child_nodes walk cost ~2.7× ast.parse itself), so the
     generator machinery and isinstance chains are flattened out."""
     tree = ast.parse(content)  # may raise SyntaxError
+    lines = content.split("\n")
     mentions: list[dict] = []
     append = mentions.append
 
@@ -210,17 +237,23 @@ def extract_ast_mentions(content: str) -> list[dict]:
         t = type(node)
         if t is Import:
             for a in node.names:
+                # alias nodes start exactly at the imported name (3.10+)
                 append({"kind": "import", "name": a.name, "qualifier": "",
-                        "line": node.lineno, "enclosing": ""})
+                        "line": node.lineno, "enclosing": "",
+                        "span": [a.col_offset, a.col_offset + len(a.name)]})
             continue  # alias children carry nothing extractable
         if t is ImportFrom:
             if node.module:
                 append({"kind": "import", "name": node.module, "qualifier": "",
-                        "line": node.lineno, "enclosing": ""})
+                        "line": node.lineno, "enclosing": "",
+                        "span": _span_find(lines, node.lineno,
+                                           node.col_offset, node.module)})
             continue
         if t in def_types:
             append({"kind": "def", "name": node.name, "qualifier": "",
-                    "line": node.lineno, "enclosing": enclosing})
+                    "line": node.lineno, "enclosing": enclosing,
+                    "span": _span_find(lines, node.lineno, node.col_offset,
+                                       node.name)})
             doc = ast.get_docstring(node, clean=False)
             if doc and node.body:
                 mentions.extend(_doc_entities(doc, node.body[0].lineno))
@@ -230,11 +263,15 @@ def extract_ast_mentions(content: str) -> list[dict]:
             tf = type(fn)
             if tf is Name:
                 append({"kind": "call", "name": fn.id, "qualifier": "",
-                        "line": node.lineno, "enclosing": enclosing})
+                        "line": node.lineno, "enclosing": enclosing,
+                        "span": [fn.col_offset, fn.end_col_offset]})
             elif tf is Attribute:
+                # the Attribute node ends exactly after the attr token
                 append({"kind": "call", "name": fn.attr,
                         "qualifier": ast.unparse(fn.value),
-                        "line": node.lineno, "enclosing": enclosing})
+                        "line": node.lineno, "enclosing": enclosing,
+                        "span": [max(fn.end_col_offset - len(fn.attr), 0),
+                                 fn.end_col_offset]})
         children: list[tuple[ast.AST, str]] = []
         for fname in node._fields:
             field = getattr(node, fname, None)

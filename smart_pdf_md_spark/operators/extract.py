@@ -49,12 +49,19 @@ MIN_CHUNK_LINES = 100
 
 FILE_MARKER = "__file__"  # kind value for per-file status rows
 
-MENTION_SCHEMA = (
+# Arrow-stage output; mention_id is appended afterwards as a pure Column
+# expr (sha2 in codegen — zero Python cost in the hot loop)
+_ARROW_SCHEMA = (
     "file_id string, repo string, path string, commit string, lang string, "
     "content_sha256 string, sha_match boolean, route_used string, "
     "kind string, name string, qualifier string, line int, enclosing string, "
-    "status string, rc int"
+    "span array<int>, status string, rc int"
 )
+# Full mentions schema (SURVEY §1.2): span = [col_start, col_end) of the
+# name token on its line; mention_id = first 16 hex of
+# sha256(file_id␟kind␟name␟line) — a stable join key for consumers that
+# want to highlight source ranges. Null on '__file__' status rows.
+MENTION_SCHEMA = _ARROW_SCHEMA + ", mention_id string"
 
 # status → rc taxonomy (SURVEY.md §2.7 exit-code contract)
 RC_OK = 0
@@ -147,7 +154,7 @@ def extract_mentions(routed: DataFrame,
 
     cols = ("file_id", "repo", "path", "commit", "lang", "content_sha256",
             "sha_match", "route_used", "kind", "name", "qualifier", "line",
-            "enclosing", "status", "rc")
+            "enclosing", "span", "status", "rc")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,8 +162,8 @@ def extract_mentions(routed: DataFrame,
             # DataFrame path is several times cheaper than 8M row dicts
             out: dict[str, list] = {c: [] for c in cols}
             (c_fid, c_repo, c_path, c_commit, c_lang, c_sha, c_match, c_route,
-             c_kind, c_name, c_qual, c_line, c_encl, c_status, c_rc) = (
-                out[c] for c in cols)
+             c_kind, c_name, c_qual, c_line, c_encl, c_span, c_status,
+             c_rc) = (out[c] for c in cols)
             for row in pdf.itertuples(index=False):
                 sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
                 match = sha == row.content_sha256
@@ -176,6 +183,7 @@ def extract_mentions(routed: DataFrame,
                 c_qual.append("")
                 c_line.append(0)
                 c_encl.append("")
+                c_span.append(None)
                 c_status.append(status)
                 c_rc.append(rc)
                 for m in mentions:
@@ -184,11 +192,20 @@ def extract_mentions(routed: DataFrame,
                     c_qual.append(m["qualifier"])
                     c_line.append(m["line"])
                     c_encl.append(m["enclosing"])
+                    c_span.append(m["span"])
                     c_status.append("ok")
                     c_rc.append(RC_OK)
             yield pd.DataFrame(out, columns=list(cols))
 
-    return routed.mapInPandas(run, schema=MENTION_SCHEMA)
+    extracted = routed.mapInPandas(run, schema=_ARROW_SCHEMA)
+    # stable per-mention join key, JVM-side (kind/name/line are unique per
+    # file after dedupe_mentions, so the id is unique per mention row)
+    mention_id = F.when(
+        F.col("kind") != FILE_MARKER,
+        F.substring(
+            F.sha2(F.concat_ws("\x1f", "file_id", "kind", "name",
+                               F.col("line").cast("string")), 256), 1, 16))
+    return extracted.withColumn("mention_id", mention_id)
 
 
 def mentions_only(extracted: DataFrame) -> DataFrame:

@@ -55,9 +55,18 @@ def oracle_mentions_for_row(repo: str, path: str, commit: str, lang: str,
     sha = sha256_hex(content)
     return [
         {"file_id": fid, "repo": repo, "path": path, "commit": commit,
-         "lang": lang, "content_sha256": sha, "route": route, **m}
+         "lang": lang, "content_sha256": sha, "route": route,
+         "mention_id": mention_id_for(fid, m["kind"], m["name"], m["line"]),
+         **m}
         for m in raw
     ]
+
+
+def mention_id_for(file_id: str, kind: str, name: str, line: int) -> str:
+    """Same formula the Spark stage computes JVM-side (extract.py)."""
+    return hashlib.sha256(
+        f"{file_id}\x1f{kind}\x1f{name}\x1f{line}".encode("utf-8")
+    ).hexdigest()[:16]
 
 
 def oracle_mentions(corpus: pd.DataFrame) -> pd.DataFrame:
@@ -65,7 +74,8 @@ def oracle_mentions(corpus: pd.DataFrame) -> pd.DataFrame:
     for r in corpus.itertuples(index=False):
         rows.extend(oracle_mentions_for_row(r.repo, r.path, r.commit, r.lang, r.content))
     cols = ["file_id", "repo", "path", "commit", "lang", "content_sha256",
-            "route", "kind", "name", "qualifier", "line", "enclosing"]
+            "route", "kind", "name", "qualifier", "line", "enclosing",
+            "span", "mention_id"]
     return pd.DataFrame(rows, columns=cols)
 
 

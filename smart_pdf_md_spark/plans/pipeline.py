@@ -56,12 +56,18 @@ def triples_from_mentions(mentions: DataFrame, distinct: bool = True) -> DataFra
         F.col("repo"),
         F.col("content_sha256"),
         F.lit(1.0).alias("conf"),
+        F.col("mention_id"),
     )
     # deterministic exact dedup (a file can mention the same fact on many
-    # lines); keyed distinct, not dropDuplicates-on-subset, so the result is
-    # parallelism-invariant. Callers that feed canonical_triples (which ends
-    # in its own distinct) pass distinct=False to save a full-data shuffle.
-    return out.distinct() if distinct else out
+    # lines): group on the fact key and keep the MIN mention_id as lineage —
+    # same shuffle as distinct, parallelism-invariant, and a consumer can
+    # still join back to the originating mention row (span/line highlight).
+    # Callers that feed canonical_triples (which ends in its own distinct)
+    # pass distinct=False to save a full-data shuffle.
+    if not distinct:
+        return out
+    keys = ["subj", "pred", "obj", "file_id", "repo", "content_sha256", "conf"]
+    return out.groupBy(*keys).agg(F.min("mention_id").alias("mention_id"))
 
 
 def run_summary(status: DataFrame) -> DataFrame:

@@ -28,13 +28,16 @@ def test_triples_pr_gate(plan, corpus_pdf):
 
 
 def test_mentions_match_oracle_exactly(plan, corpus_pdf):
-    cols = ["file_id", "kind", "name", "line", "enclosing"]
+    keys = ["file_id", "kind", "name", "line", "enclosing"]  # unique per row
+    cols = keys + ["span", "mention_id"]
     got = (plan["mentions"].select(*cols).toPandas()
-           .sort_values(cols).reset_index(drop=True))
+           .sort_values(keys).reset_index(drop=True))
     want = (oracle_mentions(corpus_pdf)[cols]
-            .sort_values(cols).reset_index(drop=True))
+            .sort_values(keys).reset_index(drop=True))
     got["line"] = got["line"].astype("int64")
     want["line"] = want["line"].astype("int64")
+    got["span"] = got["span"].map(list)
+    want["span"] = want["span"].map(list)
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -142,3 +145,39 @@ def test_include_exclude_globs(spark, corpus_sdf):
     # basename-only pattern also matches (reference matches rel-path OR basename)
     p3 = build_triples(spark, corpus_sdf, include=["keep.py"])
     assert {r.path for r in p3["status"].select("path").collect()} == {"docs/Handbooks/keep.py"}
+
+
+def test_span_and_mention_id_semantics(spark):
+    """Spans are the [col_start, col_end) columns of the NAME token on its
+    recorded line, for BOTH routes; mention_id is the sha256 prefix and
+    rides through triples_from_mentions as min-lineage."""
+    from smart_pdf_md_spark.functions.patterns import (
+        extract_ast_mentions, extract_regex_mentions)
+    from smart_pdf_md_spark.oracle import mention_id_for
+    from smart_pdf_md_spark.plans.pipeline import build_triples
+
+    py = 'import os\nfrom a.b import c\ndef foo():\n    return bar(x.baz())\n'
+    by_key = {(m["kind"], m["name"]): m for m in extract_ast_mentions(py)}
+    assert by_key[("import", "os")]["span"] == [7, 9]
+    assert by_key[("import", "a.b")]["span"] == [5, 8]
+    assert by_key[("def", "foo")]["span"] == [4, 7]
+    assert by_key[("call", "bar")]["span"] == [11, 14]
+    assert by_key[("call", "baz")]["span"] == [17, 20]  # attr token only
+
+    go = 'import "fmt"\nfunc Main() {\n\tfmt(Run())\n}\n'
+    by_key = {(m["kind"], m["name"]): m for m in extract_regex_mentions(go, "go")}
+    assert by_key[("import", "fmt")]["span"] == [8, 11]
+    assert by_key[("def", "Main")]["span"] == [5, 9]
+    assert by_key[("call", "Run")]["span"] == [5, 8]  # tab counts 1 col
+
+    rows = [("r", "p.py", "c0", "python", py)]
+    corpus = spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+    plan = build_triples(spark, corpus)
+    m = plan["mentions"].toPandas()
+    for r in m.itertuples(index=False):
+        assert r.mention_id == mention_id_for(r.file_id, r.kind, r.name, r.line)
+        assert len(r.mention_id) == 16
+    tri = plan["triples"].toPandas()
+    assert "mention_id" in tri.columns
+    mids = set(m["mention_id"])
+    assert all(t in mids for t in tri["mention_id"])
