@@ -35,9 +35,16 @@ def run_kg(
     exclude: list[str] | None = None,
     link_threshold: float = 0.60,
     partitions: int | None = None,
+    on_stage=None,
 ) -> dict:
-    """Full resumable run. Returns stage DataFrames + resume flags."""
+    """Full resumable run. Returns stage DataFrames + resume flags.
+    ``on_stage(stage, resumed)`` fires after each stage commit/resume —
+    the S9 run-log hook (see runlog.JsonRunLog.stage_hook)."""
     resumed: dict[str, bool] = {}
+
+    def _note(stage: str) -> None:
+        if on_stage is not None:
+            on_stage(stage, resumed[stage])
 
     extracted, resumed["mentions"] = run_stage(
         spark, run_dir, "mentions",
@@ -45,6 +52,7 @@ def run_kg(
                                partitions=partitions),
         MENTION_KEYS,
     )
+    _note("mentions")
     mentions = mentions_only(extracted)
 
     triples, resumed["triples"] = run_stage(
@@ -52,6 +60,7 @@ def run_kg(
         lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
         deps=["mentions"],
     )
+    _note("triples")
     # vocabulary computed at most once per run, shared by edges + entities
     # (each stage reads the committed mentions parquet, so extraction is
     # never recomputed; the vocab distinct is the only repeated scan)
@@ -69,18 +78,21 @@ def run_kg(
         ["name_a", "name_b"],
         deps=["mentions"],
     )
+    _note("edges")
     entities, resumed["entities"] = run_stage(
         spark, run_dir, "entities",
         lambda: entity_table(mentions, edges, names=_names()),
         ["name", "canonical_name"],
         deps=["mentions", "edges"],
     )
+    _note("entities")
     canonical, resumed["triples_canonical"] = run_stage(
         spark, run_dir, "triples_canonical",
         lambda: canonical_triples(triples, entities, edges),
         ["subj", "pred", "obj", "file_id"],
         deps=["triples", "entities", "edges"],
     )
+    _note("triples_canonical")
     return {
         "extracted": extracted,
         "mentions": mentions,

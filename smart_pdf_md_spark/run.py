@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
+    ap.add_argument("--log-json", metavar="PATH",
+                    help="append {ts,level,message} JSON lines per stage "
+                         "commit; 1 MB single-backup rotation (S9 parity, "
+                         "reference core.py:156-199)")
     ap.add_argument("--failures-out",
                     help="side sink for failed-file status rows; written ONLY "
                          "when failures exist (the reference's tables-count "
@@ -99,8 +103,16 @@ def main(argv: list[str] | None = None) -> int:
     from .session import build_session
     from .sources.tables import load_repo_files, write_triples
 
+    runlog = None
+    if args.log_json:
+        from .runlog import JsonRunLog
+        runlog = JsonRunLog(args.log_json)
+
     spark = build_session(app_name="kg-run", master=args.master)
     t0 = time.perf_counter()
+    if runlog:
+        runlog.log("run start", corpus=args.corpus or f"generated:{args.corpus_size}",
+                   run_dir=args.run_dir)
     try:
         repo_files = (
             corpus_df(spark, args.corpus_size)
@@ -114,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         result = run_kg(spark, repo_files, args.run_dir, args.include,
-                        args.exclude, args.link_threshold, args.partitions)
+                        args.exclude, args.link_threshold, args.partitions,
+                        on_stage=runlog.stage_hook() if runlog else None)
         from .plans.pipeline import run_summary
         s = run_summary(result["status"]).collect()[0]
         n_triples = result["triples_canonical"].count()
@@ -143,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
             "resumed": result["resumed"],
         }
         print(json.dumps(payload))
+        if runlog:
+            runlog.log("run end", level="INFO", **payload)
         if args.summary_json:
             with open(args.summary_json, "w") as f:
                 json.dump(payload, f)

@@ -117,3 +117,65 @@ def test_failures_side_sink_gate(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert not out2.exists()
     assert "side sink skipped" in r2.stderr
+
+
+def test_runlog_rotation_and_format(tmp_path):
+    """JsonRunLog: valid {ts,level,message} JSON lines; single-backup
+    rotation when the file exceeds the threshold (reference core.py:156-199
+    semantics: delete old .1, rename current to .1, start fresh)."""
+    import json
+    import os
+
+    from smart_pdf_md_spark.runlog import JsonRunLog
+
+    path = tmp_path / "run.log"
+    lg = JsonRunLog(str(path), max_bytes=200)
+    for i in range(3):
+        lg.log(f"msg {i}", stage=f"s{i}")
+    lines = [json.loads(x) for x in path.read_text().splitlines()]
+    assert all({"ts", "level", "message"} <= set(d) for d in lines)
+    assert lines[0]["message"] == "msg 0" and lines[0]["level"] == "INFO"
+    assert lines[0]["ts"].endswith("+00:00")  # UTC ISO-8601
+
+    # grow past the threshold → next append rotates to .1 and starts fresh
+    lg.log("filler " + "x" * 300)
+    lg.log("after rotation")
+    backup = tmp_path / "run.log.1"
+    assert backup.exists()
+    assert "filler" in backup.read_text()
+    fresh = [json.loads(x) for x in path.read_text().splitlines()]
+    assert len(fresh) == 1 and fresh[0]["message"] == "after rotation"
+    # a second rotation REPLACES the single backup (never .2)
+    lg.log("filler2 " + "y" * 300)
+    lg.log("post second rotation")
+    assert "filler2" in backup.read_text()
+    assert not os.path.exists(str(path) + ".2")
+
+
+def test_cli_log_json_writes_stage_lines(tmp_path):
+    """--log-json end-to-end: run start, one line per stage commit, run end
+    with the summary payload; resumed rerun logs resumed=True."""
+    import json
+
+    log = tmp_path / "run.jsonl"
+    base = [sys.executable, "-m", "smart_pdf_md_spark.run",
+            "--master", "local[2]", "--no-env-warnings",
+            "--corpus-size", "30", "--run-dir", str(tmp_path / "r"),
+            "--log-json", str(log)]
+    r = subprocess.run(base, capture_output=True, text=True,
+                       cwd="/root/repo", timeout=300)
+    assert r.returncode in (0, 1, 2, 4, 9), r.stderr[-1500:]
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    assert lines[0]["message"] == "run start"
+    stages = [d["stage"] for d in lines if "stage" in d]
+    assert stages == ["mentions", "triples", "edges", "entities",
+                      "triples_canonical"]
+    assert all(d["resumed"] is False for d in lines if "stage" in d)
+    assert lines[-1]["message"] == "run end" and "triples" in lines[-1]
+
+    r2 = subprocess.run(base, capture_output=True, text=True,
+                        cwd="/root/repo", timeout=300)
+    assert r2.returncode == r.returncode
+    lines2 = [json.loads(x) for x in log.read_text().splitlines()]
+    resumed = [d for d in lines2 if d.get("resumed") is True]
+    assert len(resumed) == 5  # second run appended, all stages resumed
