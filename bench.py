@@ -91,7 +91,8 @@ def main() -> int:
     from smart_pdf_md_spark.operators.extract import mentions_only
 
     corpus = _bench_corpus(spark, KG_BENCH_FILES)
-    need = ["file_id", "repo", "path", "kind", "name", "enclosing", "content_sha256"]
+    need = ["file_id", "repo", "path", "kind", "name", "enclosing",
+            "content_sha256", "mention_id"]
     # best of 2: this microVM shows host page-cache reclaim + ±30% noise;
     # the first pass also warms the corpus read path
     kg_elapsed, n_triples = None, 0
