@@ -52,7 +52,8 @@ corpus.count()  # warmup: JVM/codegen + page cache, equal at both levels
 # section is steady-state throughput, not cluster start-up
 spark.range(0, {cores} * 4, numPartitions={cores} * 4).mapInPandas(
     lambda it: (pdf for pdf in it), "id long").count()
-NEED = ["file_id", "repo", "path", "kind", "name", "enclosing", "content_sha256"]
+NEED = ["file_id", "repo", "path", "kind", "name", "enclosing",
+        "content_sha256", "mention_id"]
 t0 = time.perf_counter()
 m0 = mentions_only(build_mentions(spark, corpus)).select(*NEED).persist()
 m0.count()
