@@ -113,3 +113,118 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             .select("query_id",
                     F.round(F.coalesce(F.col("hits"), F.lit(0)) /
                             F.col("total"), 4).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the classic ANN scale path next to LSH
+# (cf. Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 §III: IVF coarse quantizer without the PQ refinement).
+# Train a small k-means codebook, partition vectors into n_lists inverted
+# lists, search only the nprobe lists nearest to each query. Everything is
+# pure Column exprs: the codebook is tiny and enters the plan as array
+# literals, so assignment/search stay in whole-stage codegen — no UDF, no
+# broadcast variable, and the candidate join is an equi-join on list_id.
+# ---------------------------------------------------------------------------
+
+_IVF_SEED = 42
+
+
+def _sqdist_to_lists(vec_col: str, centroids: np.ndarray):
+    """array<double> of squared distances from `vec_col` to every centroid
+    (codebook as nested array literals — codegen'd, JVM-side)."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
+    return F.transform(
+        carr,
+        lambda c: F.aggregate(F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _nearest_list(vec_col: str, centroids: np.ndarray):
+    """0-based index of the nearest centroid. array_min returns an element
+    of the array, so the equality in array_position is exact; ties resolve
+    to the FIRST minimal index — deterministic."""
+    d2 = _sqdist_to_lists(vec_col, centroids)
+    return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+
+def ivf_train(emb: DataFrame, n_lists: int = 16, n_iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64, sample_mod: int = 1) -> np.ndarray:
+    """Deterministic Lloyd's k-means codebook (n_lists × dim).
+
+    - init: the n_lists vectors with the smallest xxhash64(id) — a seeded
+      pseudo-random sample, stable at any parallelism;
+    - each iteration: one groupBy(list) with `dim` avg aggregates (one
+      shuffle of n_lists×dim agg state — no per-component explode);
+    - centroids are rounded to 9 decimals after every update so the
+      float-reduction order of avg() cannot leak nondeterminism into
+      assignments;
+    - `sample_mod=m` trains on the deterministic 1/m id-hash sample — at
+      100 TB you train the codebook on a sliver and assign everything.
+    Empty clusters keep their previous centroid (standard Lloyd fallback).
+    """
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_mod > 1:
+        base = base.filter(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
+    cents = np.array(
+        [r.v for r in base.select("v", F.xxhash64("id").alias("h"))
+         .orderBy("h").limit(n_lists).collect()], dtype="float64")
+    if len(cents) == 0:
+        raise ValueError("ivf_train: empty input")
+    for _ in range(n_iters):
+        assigned = base.withColumn("list_id", _nearest_list("v", cents))
+        means = (assigned.groupBy("list_id")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = cents.copy()
+        for r in means:
+            new[r.list_id] = [r[f"c{i}"] for i in range(dim)]
+        cents = np.round(new, 9)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(list_id, id, v): the inverted lists. At scale, write this
+    partitioned/bucketed by list_id so a probe reads only its lists."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("list_id", _nearest_list("v", centroids))
+
+
+def topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, nprobe: int = 4, n_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors in each query's nprobe
+    nearest lists. Same output shape as topk_bruteforce/topk_lsh
+    (query_id, neighbor_id, cosine, rank). Candidate work is
+    sum(|probed lists|) per query, never n; the join is an equi-join on
+    list_id with the (tiny) query-probe table broadcast."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_lists, n_iters, id_col, vec_col, dim)
+    index = ivf_assign(emb, centroids, id_col, vec_col) \
+        .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "nv")
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.posexplode(_sqdist_to_lists(vec_col, centroids))
+        .alias("list_id", "d2"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("list_id").asc())
+    probes = (qd.withColumn("pr", F.row_number().over(w_probe))
+              .filter(F.col("pr") <= nprobe)
+              .select("query_id", "qv", "list_id"))
+    scored = (
+        index.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("qv"), F.col("nv")) + 1e-9, 4).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

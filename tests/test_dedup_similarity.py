@@ -273,3 +273,81 @@ def test_minhash_lsh_dedup_recall_vs_exact_jaccard(spark):
     assert len(exact) >= 30  # the clusters really are near-dups
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"MinHash-LSH recall too low: {recall:.2f}"
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """50 clusters x 4 near-identical vectors + 100 background vectors —
+    shared fixture for IVF structure/recall/determinism tests."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows, vid = [], 0
+    for _ in range(50):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        base = [x / nrm for x in base]
+        for _ in range(4):
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in base]))
+            vid += 1
+    for _ in range(100):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(64)])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df.persist().count()
+    return df
+
+
+def test_ivf_structure_and_determinism(spark, clustered_emb):
+    """Every vector lands in exactly one inverted list; codebook and
+    assignments are identical across two independent trainings (seeded init
+    + rounded centroids kill FP-order nondeterminism)."""
+    import numpy as np
+
+    c1 = SIM.ivf_train(clustered_emb, n_lists=8, n_iters=2)
+    c2 = SIM.ivf_train(clustered_emb, n_lists=8, n_iters=2)
+    assert np.array_equal(c1, c2)
+    idx = SIM.ivf_assign(clustered_emb, c1)
+    n = clustered_emb.count()
+    assert idx.count() == n                       # one row per vector
+    assert idx.select("id").distinct().count() == n
+    lists = idx.groupBy("list_id").count().collect()
+    assert all(0 <= r.list_id < 8 for r in lists)
+    assert len(lists) >= 2                        # k-means actually split
+
+
+def test_ivf_recall_vs_bruteforce(spark, clustered_emb):
+    """Probing half the lists on clustered data recovers >=0.7 of exact
+    top-k; probing ALL lists is exhaustive => recall 1.0 (the IVF analogue
+    of the LSH recall gate)."""
+    queries = clustered_emb.filter(F.col("vec_id") < 6)
+    exact = SIM.topk_bruteforce(clustered_emb, queries, k=5)
+    cents = SIM.ivf_train(clustered_emb, n_lists=8, n_iters=3)
+    approx = SIM.topk_ivf(clustered_emb, queries, k=5, nprobe=4,
+                          centroids=cents)
+    rec = SIM.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.7, f"IVF recall too low: {rec}"
+    full = SIM.topk_ivf(clustered_emb, queries, k=5, nprobe=8,
+                        centroids=cents)
+    rec_full = SIM.ann_recall(exact, full).agg(F.avg("recall")).collect()[0][0]
+    assert rec_full == 1.0, f"nprobe=n_lists must be exhaustive: {rec_full}"
+
+
+def test_ivf_probe_bounds_candidates(spark, clustered_emb):
+    """The scale property: a query scores ONLY vectors from its nprobe
+    lists — candidate count == sum of probed list sizes (minus self)."""
+    cents = SIM.ivf_train(clustered_emb, n_lists=8, n_iters=2)
+    idx = SIM.ivf_assign(clustered_emb, cents)
+    sizes = {r.list_id: r.cnt for r in
+             idx.groupBy("list_id").agg(F.count("*").alias("cnt")).collect()}
+    q = clustered_emb.filter(F.col("vec_id") == 0)
+    got = SIM.topk_ivf(clustered_emb, q, k=10**6, nprobe=2, centroids=cents)
+    qlist = idx.filter(F.col("id") == 0).collect()[0].list_id
+    import numpy as np
+    qv = np.array(q.collect()[0].embedding)
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probed = list(np.argsort(d2, kind="stable")[:2])
+    expect = sum(sizes.get(int(p), 0) for p in probed)
+    if qlist in [int(p) for p in probed]:
+        expect -= 1  # self-match excluded
+    assert got.count() == expect
