@@ -87,3 +87,123 @@ def test_streaming_dedup_drops_duplicate_arrivals(spark, tmp_path):
     got = spark.table("dedup_sink").toPandas()
     assert len(got) == src.count()
     assert got["event_id"].is_unique
+
+
+def _write_event_file(spark, path: str, rows, mtime: int):
+    """One parquet file per micro-batch, mtime-ordered so the file stream
+    source (oldest-first) delivers batches in controlled order."""
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "click", 1.0, "{}") for eid, ts, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    df.coalesce(1).write.mode("append").parquet(path)
+    newest = max(glob.glob(os.path.join(path, "*.parquet")),
+                 key=os.path.getmtime)
+    os.utime(newest, (mtime, mtime))
+
+
+def test_stateful_sessions_event_time_timeout(spark, tmp_path):
+    """applyInPandasWithState with EventTimeTimeout: sessions close exactly
+    once, only when the watermark proves them unextendable; open tails and
+    below-watermark late rows never surface."""
+    from datetime import datetime, timedelta
+
+    from smart_pdf_md_spark.streaming.windows import stateful_sessions
+
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    mn = timedelta(minutes=1)
+    path = str(tmp_path / "sess_events")
+    # batch 1 — session A per user (u1: 3 events OUT OF ORDER, u2: 1 event)
+    _write_event_file(spark, path, [
+        (3, t0 + 20 * mn, 1), (1, t0, 1), (2, t0 + 10 * mn, 1),
+        (10, t0 + 5 * mn, 2),
+    ], mtime=1_000)
+    # batch 2 — session B (u1), 2h after A (gap 30min => new session)
+    _write_event_file(spark, path, [
+        (4, t0 + 120 * mn, 1), (5, t0 + 125 * mn, 1),
+    ], mtime=2_000)
+    # batch 3 — session C (u1) far later: advances the watermark past B+gap
+    _write_event_file(spark, path, [(6, t0 + 1000 * mn, 1)], mtime=3_000)
+    # batch 4 — flush events for BOTH users (every key gets rows, so the
+    # closable check runs under the post-batch-3 watermark), plus a
+    # below-watermark late row (eid 99) that must be dropped, not sessioned
+    _write_event_file(spark, path, [
+        (7, t0 + 2000 * mn, 1), (11, t0 + 2000 * mn, 2),
+        (99, t0 + 1 * mn, 2),
+    ], mtime=4_000)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    q = (stateful_sessions(stream, gap_sec=1800, watermark="10 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sess_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+
+    # closed: u1 A (3 events, 0..20min), u1 B (2 events), u2 A (1 event).
+    # open tails (u1/u2 flush events, u1 session C) and the late eid-99 row
+    # must NOT appear.
+    assert got == {
+        (1, t0, t0 + 20 * mn, 3),
+        (1, t0 + 120 * mn, t0 + 125 * mn, 2),
+        (2, t0 + 5 * mn, t0 + 5 * mn, 1),
+    }
+
+
+def test_stateful_sessions_subset_of_batch(spark, tmp_path):
+    """On the real events table delivered in bounded-disorder order
+    (time-range files, the Kafka-partition assumption the watermark
+    contract is about), every emitted session must be exactly a session
+    the batch gap rule produces (same 1800s rule as w3_sessionize); no
+    duplicates across micro-batches. Unbounded disorder would instead
+    (correctly) drop beyond-watermark rows and fragment those sessions."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from smart_pdf_md_spark.streaming.windows import stateful_sessions
+
+    events_dir = str(tmp_path / "events_ranged")
+    spark.read.parquet(f"{SF_EVENTS}/events.parquet") \
+        .repartitionByRange(4, "ts").sortWithinPartitions("ts") \
+        .write.parquet(events_dir)
+    # mtime-order the range files by their min ts so oldest-first delivery
+    # matches event time
+    files = glob.glob(os.path.join(events_dir, "*.parquet"))
+    mins = {f: spark.read.parquet(f).agg(F.min("ts")).collect()[0][0]
+            for f in files}
+    for i, f in enumerate(sorted(files, key=lambda f: mins[f])):
+        os.utime(f, (1_000 + i, 1_000 + i))
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (stateful_sessions(stream, gap_sec=1800, watermark="30 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sess_real").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sess_real").toPandas()
+    assert len(got) == len(got.drop_duplicates())  # exactly-once emission
+
+    ev = spark.read.parquet(events_dir).select("user_id", "ts", "event_id") \
+        .toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].tolist()
+        start, n = ts[0], 1
+        for prev, cur in zip(ts, ts[1:]):
+            if (cur - prev) > pd.Timedelta(seconds=1800):
+                want.add((uid, start, prev, n))
+                start, n = cur, 1
+            else:
+                n += 1
+        want.add((uid, start, ts[-1], n))
+    emitted = {(r.user_id, r.session_start, r.session_end, r.n_events)
+               for r in got.itertuples(index=False)}
+    assert emitted <= want, f"phantom sessions: {list(emitted - want)[:3]}"
+    assert len(emitted) > 0
