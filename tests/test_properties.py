@@ -86,3 +86,42 @@ def test_chunking_covers_every_token(n_tokens, chunk, overlap):
     for s in starts:
         covered.update(range(s, min(s + chunk, n_tokens)))
     assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=200, deadline=None)
+@given(content=text_like, lang=st.sampled_from(SUPPORTED_LANGS))
+def test_regex_spans_point_at_the_name(content, lang):
+    """The span of every regex-route mention is exactly the name token's
+    [col_start, col_end) on its recorded line — the invariant a KG consumer
+    relies on to highlight source ranges."""
+    lines = content.split("\n")
+    for m in extract_regex_mentions(content, lang):
+        a, b = m["span"]
+        assert 0 <= a < b
+        line = lines[m["line"] - 1]
+        assert line[a:b] == m["name"], (m, line)
+
+
+def test_ast_spans_point_at_the_name_on_corpus_like_code():
+    """AST-route spans: exact for every mention kind over representative
+    python (defs incl. async/decorated/nested, aliased + dotted imports,
+    attribute calls). Doc-entity spans are docstring-relative (excluded)."""
+    from smart_pdf_md_spark.functions.patterns import extract_ast_mentions
+
+    code = (
+        "import os, json as j\n"
+        "from  a.b  import c\n"
+        "@deco\n"
+        "async def outer(x):\n"
+        "    class  Inner:\n"
+        "        def meth(self):\n"
+        "            return os.path.join(x, helper(x))\n"
+        "    return Inner\n"
+    )
+    lines = code.split("\n")
+    for m in extract_ast_mentions(code):
+        if m["kind"] == "doc_entity":
+            continue
+        a, b = m["span"]
+        line = lines[m["line"] - 1]
+        assert line[a:b] == m["name"], (m, line)
