@@ -67,7 +67,18 @@ def triples_from_mentions(mentions: DataFrame, distinct: bool = True) -> DataFra
     if not distinct:
         return out
     keys = ["subj", "pred", "obj", "file_id", "repo", "content_sha256", "conf"]
-    return out.groupBy(*keys).agg(F.min("mention_id").alias("mention_id"))
+    # min over the NUMERIC form of the id, not the string: min(string) has
+    # no fixed-width agg buffer and demotes the whole aggregate to
+    # SortAggregate (two sorts around the exchange); min(decimal) keeps
+    # HashAggregate, and for fixed-length hex the orders are identical.
+    mid_num = F.conv(F.col("mention_id"), 16, 10).cast("decimal(20,0)")
+    return (
+        out.groupBy(*keys).agg(F.min(mid_num).alias("_mid"))
+        .withColumn("mention_id",
+                    F.lower(F.lpad(F.conv(F.col("_mid").cast("string"),
+                                          10, 16), 16, "0")))
+        .drop("_mid")
+    )
 
 
 def run_summary(status: DataFrame) -> DataFrame:

@@ -74,3 +74,28 @@ def test_chunking_is_scan_side(spark):
     assert "Exchange" not in p
     rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in rs and "text" in rs and "lang" not in rs
+
+
+def test_triples_dedup_is_hash_aggregate(spark, corpus_sdf):
+    """The lineage-keeping dedup must stay a HashAggregate: min over the
+    mention_id STRING has no fixed-width agg buffer and silently demotes the
+    plan to SortAggregate (two extra sorts around the exchange at scale) —
+    the numeric-decimal min keeps hash aggregation, and the recovered hex
+    equals the true string min on every triple."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.extract import mentions_only
+    from smart_pdf_md_spark.plans.pipeline import triples_from_mentions
+
+    m = mentions_only(build_mentions(spark, corpus_sdf))
+    t = triples_from_mentions(m)
+    plan = _plan(t)
+    assert "SortAggregate" not in plan, "string-min demoted the dedup agg"
+    assert "HashAggregate" in plan
+
+    keys = ["subj", "pred", "obj", "file_id", "repo", "content_sha256", "conf"]
+    want = (triples_from_mentions(m, distinct=False)
+            .groupBy(*keys).agg(F.min("mention_id").alias("want")))
+    j = t.join(want, keys)
+    assert j.count() == t.count()
+    assert j.filter(F.col("mention_id") != F.col("want")).count() == 0
