@@ -26,7 +26,7 @@ from pathlib import Path
 
 KNOWN_KEYS = {
     "corpus", "corpus_size", "run_dir", "out", "master", "include", "exclude",
-    "partitions", "link_threshold", "dry_run",
+    "partitions", "link_threshold", "dry_run", "engine",
 }
 # env allowlist — the knobs the engine actually reads (P5 analogue of the
 # reference's 21-key SMART_PDF_MD_* allowlist, cli.py:374-413)
@@ -49,6 +49,7 @@ class RunConfig:
     partitions: int | None = None
     link_threshold: float = 0.60
     dry_run: bool = False
+    engine: str | None = None
     env: dict[str, str] = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
 

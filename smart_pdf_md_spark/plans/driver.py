@@ -36,10 +36,13 @@ def run_kg(
     link_threshold: float = 0.60,
     partitions: int | None = None,
     on_stage=None,
+    forced_route: str | None = None,
 ) -> dict:
     """Full resumable run. Returns stage DataFrames + resume flags.
     ``on_stage(stage, resumed)`` fires after each stage commit/resume —
-    the S9 run-log hook (see runlog.JsonRunLog.stage_hook)."""
+    the S9 run-log hook (see runlog.JsonRunLog.stage_hook).
+    ``forced_route`` is the reference's ``-e/--engine`` (cli.py:105-137):
+    force one extractor family; unknown values fail per file with rc 9."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -49,6 +52,7 @@ def run_kg(
     extracted, resumed["mentions"] = run_stage(
         spark, run_dir, "mentions",
         lambda: build_mentions(spark, repo_files, include, exclude,
+                               forced_route=forced_route,
                                partitions=partitions),
         MENTION_KEYS,
     )

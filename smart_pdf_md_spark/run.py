@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--include", action="append", default=None)
     ap.add_argument("--exclude", action="append", default=None)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("-e", "--engine", default=None,
+                    help="force one extractor family (ast|regex) — the "
+                         "reference's -e/--engine (cli.py:105-137); an "
+                         "unknown value fails every file with rc 9")
     # default applied after the config merge (None = "not set on CLI", so a
     # config-file value can take effect; CLI wins only when explicitly given)
     ap.add_argument("--link-threshold", type=float, default=None)
@@ -92,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     args.partitions = rc_cfg.partitions
     args.link_threshold = rc_cfg.link_threshold
     args.dry_run = args.dry_run or rc_cfg.dry_run
+    args.engine = rc_cfg.engine
 
     if (not args.corpus and not args.corpus_size) or not args.run_dir:
         ap.print_usage(sys.stderr)
@@ -121,13 +126,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.dry_run:
             plan = build_triples(spark, repo_files, args.include, args.exclude,
+                                 forced_route=args.engine,
                                  partitions=args.partitions)
             plan["triples"].explain("formatted")
             return 0
 
         result = run_kg(spark, repo_files, args.run_dir, args.include,
                         args.exclude, args.link_threshold, args.partitions,
-                        on_stage=runlog.stage_hook() if runlog else None)
+                        on_stage=runlog.stage_hook() if runlog else None,
+                        forced_route=args.engine)
         from .plans.pipeline import run_summary
         s = run_summary(result["status"]).collect()[0]
         n_triples = result["triples_canonical"].count()

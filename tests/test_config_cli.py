@@ -179,3 +179,20 @@ def test_cli_log_json_writes_stage_lines(tmp_path):
     lines2 = [json.loads(x) for x in log.read_text().splitlines()]
     resumed = [d for d in lines2 if d.get("resumed") is True]
     assert len(resumed) == 5  # second run appended, all stages resumed
+
+
+def test_cli_engine_flag(tmp_path):
+    """-e/--engine end-to-end (reference cli.py:105-137): a known family
+    forces every routed file through it; an unknown value fails every file
+    with rc 9 and the run's exit code follows the first non-zero rc."""
+    base = [sys.executable, "-m", "smart_pdf_md_spark.run",
+            "--master", "local[2]", "--no-env-warnings", "--corpus-size", "20"]
+    r = subprocess.run(
+        base + ["--run-dir", str(tmp_path / "r1"), "-e", "regex"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode in (0, 1, 4), r.stderr[-1500:]
+
+    r2 = subprocess.run(
+        base + ["--run-dir", str(tmp_path / "r2"), "--engine", "marker"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r2.returncode == 9, (r2.returncode, r2.stderr[-1500:])
