@@ -17,6 +17,10 @@ file, behind one small interface:
     run_dir/<stage>/_COMMITTED            JSON snapshot pointer, published
                                           LAST via temp-file + os.replace:
                                           {"run_id", "batches", "manifest"}
+    run_dir/<stage>/_COMMIT_LOCK          per-stage writer lock (O_EXCL pid
+                                          file; dead holders stolen) — the
+                                          catalog-CAS stand-in that stops
+                                          concurrent appends losing batches
 
 Snapshot semantics (the Iceberg commit protocol on plain parquet): readers
 resolve the marker and read ONLY the batch dirs it lists. A run killed
@@ -37,9 +41,11 @@ interrupted extraction pass reprocesses only uncommitted files.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +72,50 @@ def _read_marker(run_dir: str, stage: str) -> dict | None:
     # legacy plain-run_id marker: the whole data dir is the committed view
     return {"run_id": raw or None, "batches": None,
             "manifest": "manifest.parquet"}
+
+
+@contextlib.contextmanager
+def _commit_lock(sdir: str, timeout: float = 300.0, poll: float = 0.05):
+    """Serialize commits per stage dir — the sandbox stand-in for Iceberg's
+    catalog CAS. Without it, two concurrent appends both read the same prior
+    snapshot and the second pointer swap silently drops the first's batch
+    (classic lost update). An O_EXCL pid-file is the lock; a holder that
+    died mid-commit (SIGKILL) is detected via kill(pid, 0) and stolen, so a
+    crashed run never wedges the stage."""
+    os.makedirs(sdir, exist_ok=True)
+    path = os.path.join(sdir, "_COMMIT_LOCK")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                pid = int(open(path).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            dead = False
+            if pid:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    dead = True
+                except PermissionError:
+                    pass
+            if dead:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"stage commit lock busy: {path}")
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)
 
 
 def _write_atomic(path: str, payload: str) -> None:
@@ -157,48 +207,52 @@ def commit_stage(
     data_dir = os.path.join(sdir, "data")
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex
-    prev = _read_marker(run_dir, stage) if mode == "append" else None
+    # the whole commit — snapshot read, data write, pointer swap, GC —
+    # runs under the per-stage lock so concurrent writers serialize and
+    # GC can never collect another writer's in-flight batch
+    with _commit_lock(sdir):
+        prev = _read_marker(run_dir, stage) if mode == "append" else None
 
-    prev_batches = (prev or {}).get("batches")
-    if prev is not None and prev_batches is None:
-        # Legacy snapshot (plain run_id marker, loose files under data/):
-        # appending with only the new batch in the pointer would silently
-        # drop every previously committed row (ADVICE r2). Migrate first:
-        # hardlink the loose files into an immutable batch dir — the legacy
-        # view stays byte-identical until the pointer swap publishes the new
-        # snapshot, so a kill anywhere in between loses nothing; the loose
-        # originals are GC'd only after the swap.
-        prev_batches = [_migrate_legacy_data(data_dir, prev.get("run_id"))]
+        prev_batches = (prev or {}).get("batches")
+        if prev is not None and prev_batches is None:
+            # Legacy snapshot (plain run_id marker, loose files under data/):
+            # appending with only the new batch in the pointer would silently
+            # drop every previously committed row (ADVICE r2). Migrate first:
+            # hardlink the loose files into an immutable batch dir — the legacy
+            # view stays byte-identical until the pointer swap publishes the new
+            # snapshot, so a kill anywhere in between loses nothing; the loose
+            # originals are GC'd only after the swap.
+            prev_batches = [_migrate_legacy_data(data_dir, prev.get("run_id"))]
 
-    batch = f"b_{run_id}"
-    df.write.mode("overwrite").parquet(os.path.join(data_dir, batch))
+        batch = f"b_{run_id}"
+        df.write.mode("overwrite").parquet(os.path.join(data_dir, batch))
 
-    batches = (prev_batches or []) + [batch]
-    committed = spark.read.parquet(
-        *[os.path.join(data_dir, b) for b in batches])
-    digest = F.bit_xor(F.xxhash64(*[F.col(c) for c in key_cols]))
-    manifest = (
-        committed.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("row_count"),
-            F.format_string("%016x", digest).alias("digest_xxh64"),
+        batches = (prev_batches or []) + [batch]
+        committed = spark.read.parquet(
+            *[os.path.join(data_dir, b) for b in batches])
+        digest = F.bit_xor(F.xxhash64(*[F.col(c) for c in key_cols]))
+        manifest = (
+            committed.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("row_count"),
+                F.format_string("%016x", digest).alias("digest_xxh64"),
+            )
+            .withColumn("stage", F.lit(stage))
+            .withColumn("run_id", F.lit(run_id))
+            .select("stage", "partition_id", "row_count", "digest_xxh64", "run_id")
         )
-        .withColumn("stage", F.lit(stage))
-        .withColumn("run_id", F.lit(run_id))
-        .select("stage", "partition_id", "row_count", "digest_xxh64", "run_id")
-    )
-    manifest_name = f"manifest_{run_id}.parquet"
-    manifest.write.mode("overwrite").parquet(os.path.join(sdir, manifest_name))
+        manifest_name = f"manifest_{run_id}.parquet"
+        manifest.write.mode("overwrite").parquet(os.path.join(sdir, manifest_name))
 
-    if deps:
-        _write_atomic(_deps_path(run_dir, stage),
-                      json.dumps({d: stage_run_id(run_dir, d) for d in deps}))
-    _write_atomic(os.path.join(sdir, "_COMMITTED"),
-                  json.dumps({"run_id": run_id, "batches": batches,
-                              "manifest": manifest_name}))
-    _gc_stage(sdir, keep_batches=set(batches), keep_manifest=manifest_name)
-    return committed
+        if deps:
+            _write_atomic(_deps_path(run_dir, stage),
+                          json.dumps({d: stage_run_id(run_dir, d) for d in deps}))
+        _write_atomic(os.path.join(sdir, "_COMMITTED"),
+                      json.dumps({"run_id": run_id, "batches": batches,
+                                  "manifest": manifest_name}))
+        _gc_stage(sdir, keep_batches=set(batches), keep_manifest=manifest_name)
+        return committed
 
 
 def _migrate_legacy_data(data_dir: str, legacy_run_id: str | None) -> str:

@@ -246,3 +246,64 @@ def test_append_over_legacy_snapshot_keeps_all_rows(spark, run_dir):
     commit_stage(spark.createDataFrame([("h0", 0)], ["file_id", "val"]),
                  run_dir, stage, key_cols=["file_id"], mode="append")
     assert read_stage(spark, run_dir, stage).count() == 16
+
+
+def test_concurrent_appends_lose_nothing(spark, run_dir):
+    """Two writers appending to the same stage concurrently: without the
+    per-stage commit lock both read the same prior snapshot and the second
+    pointer swap drops the first's batch (lost update) — with it, all three
+    batches (base + both appends) survive in the final snapshot."""
+    import threading
+
+    from smart_pdf_md_spark.plans.manifests import commit_stage
+
+    stage = "mentions"
+    base = spark.createDataFrame([(f"base{i}", i) for i in range(4)],
+                                 ["file_id", "val"])
+    commit_stage(base, run_dir, stage, key_cols=["file_id"])
+
+    errs = []
+
+    def append(tag):
+        try:
+            df = spark.createDataFrame([(f"{tag}{i}", i) for i in range(3)],
+                                       ["file_id", "val"])
+            commit_stage(df, run_dir, stage, key_cols=["file_id"],
+                         mode="append")
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=append, args=(t,)) for t in ("x", "y")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = {r.file_id for r in read_stage(spark, run_dir, stage).collect()}
+    assert got == ({f"base{i}" for i in range(4)} |
+                   {f"x{i}" for i in range(3)} | {f"y{i}" for i in range(3)})
+
+
+def test_stale_commit_lock_is_stolen(spark, run_dir):
+    """A lock left by a SIGKILLed writer (dead pid) must not wedge the
+    stage; a lock held by a LIVE pid must block until timeout."""
+    import pytest as _pytest
+
+    from smart_pdf_md_spark.plans.manifests import _commit_lock, commit_stage
+
+    stage = "triples"
+    sdir = os.path.join(run_dir, stage)
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "_COMMIT_LOCK"), "w") as f:
+        f.write("999999999")  # no such pid → dead holder → stolen
+    df = spark.createDataFrame([("a", 1)], ["file_id", "val"])
+    commit_stage(df, run_dir, stage, key_cols=["file_id"])  # must not block
+    assert read_stage(spark, run_dir, stage).count() == 1
+    assert not os.path.exists(os.path.join(sdir, "_COMMIT_LOCK"))
+
+    with open(os.path.join(sdir, "_COMMIT_LOCK"), "w") as f:
+        f.write(str(os.getpid()))  # live holder (us) → honored
+    with _pytest.raises(TimeoutError):
+        with _commit_lock(sdir, timeout=0.3):
+            pass
+    os.remove(os.path.join(sdir, "_COMMIT_LOCK"))
