@@ -99,3 +99,51 @@ def test_triples_dedup_is_hash_aggregate(spark, corpus_sdf):
     j = t.join(want, keys)
     assert j.count() == t.count()
     assert j.filter(F.col("mention_id") != F.col("want")).count() == 0
+
+
+def test_bucketed_self_join_has_no_shuffle(spark, corpus_sdf, tmp_path):
+    """Bucketing as the co-located-join strategy: a subj-bucketed triples
+    table self-joins (the two-hop shape) and groupBys on subj with ZERO
+    Exchange — the write paid the shuffle once. The same join over the
+    plain parquet table must show an Exchange, proving the assertion bites."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.extract import mentions_only
+    from smart_pdf_md_spark.plans.pipeline import (
+        build_mentions, triples_from_mentions)
+    from smart_pdf_md_spark.sources.tables import (
+        read_bucketed, write_triples_bucketed)
+
+    t = triples_from_mentions(
+        mentions_only(build_mentions(spark, corpus_sdf)))
+    spark.sql("DROP TABLE IF EXISTS triples_b")
+    write_triples_bucketed(t, "triples_b", buckets=8)
+    # disable broadcast: at test scale Catalyst would broadcast instead,
+    # which bypasses bucket co-location entirely ("Bucketed: false
+    # (disabled by query planner)") — at the 100 TB size this table models,
+    # the self-join is SortMergeJoin territory and bucketing is what
+    # deletes its shuffles
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tb = read_bucketed(spark, "triples_b")
+        a = tb.select(F.col("subj").alias("k"), F.col("obj").alias("mid"))
+        b = tb.select(F.col("subj").alias("k"), F.col("obj").alias("o2"))
+        joined = a.join(b, "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed self-join still shuffles"
+        assert "Bucketed: true" in plan
+        agg_plan = _plan(tb.groupBy("subj").count())
+        assert "Exchange" not in agg_plan, "bucketed groupBy still shuffles"
+        n_bucketed = joined.count()
+        assert n_bucketed > 0
+
+        # control: the un-bucketed equivalent DOES shuffle, same result
+        pa = t.select(F.col("subj").alias("k"), F.col("obj").alias("mid"))
+        pb = t.select(F.col("subj").alias("k"), F.col("obj").alias("o2"))
+        control = _plan(pa.join(pb, "k"))
+        assert "Exchange" in control and "hashpartitioning" in control
+        assert pa.join(pb, "k").count() == n_bucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS triples_b")
