@@ -228,3 +228,22 @@ def topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def mean_pool(emb: DataFrame, group_col: str, vec_col: str = "embedding",
+              dim: int = 64, normalize: bool = True) -> DataFrame:
+    """Pool chunk/frame embeddings into one vector per `group_col`
+    (training-data pipelines embed chunks, then need doc-level vectors for
+    dedup/ANN). Component-wise mean as `dim` avg aggregates in ONE groupBy —
+    one shuffle of dim-wide agg state, no posexplode of n×dim rows. With
+    `normalize=True` the result is L2-unit (cosine-ready)."""
+    v = F.col(vec_col).cast("array<double>")
+    pooled = emb.groupBy(group_col).agg(
+        F.count("*").alias("n_vecs"),
+        *[F.avg(v[i]).alias(f"_c{i}") for i in range(dim)])
+    arr = F.array(*[F.col(f"_c{i}") for i in range(dim)])
+    if normalize:
+        nrm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+        arr = F.when(nrm > 0, F.transform(arr, lambda x: x / nrm)) \
+            .otherwise(arr)
+    return pooled.select(group_col, "n_vecs", arr.alias(vec_col))

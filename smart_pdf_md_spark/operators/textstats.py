@@ -193,3 +193,20 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         F.array_min(F.transform(grams, F.md5))
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling for training-data mixes (e.g.
+    {'en': 0.5, 'de': 1.0}): a row survives iff
+    pmod(xxhash64(seed_col, salt), 1e6) < fraction·1e6. Unlike sampleBy,
+    the decision is a pure function of the row's id — stable across runs,
+    partitionings, and cluster sizes (no RNG state per partition), so a
+    resumed or re-sharded job keeps exactly the same sample. Strata not in
+    `fractions` are dropped."""
+    frac = F.create_map(*[
+        F.lit(x) for kv in fractions.items() for x in kv])[F.col(strata_col)]
+    bucket = F.pmod(F.xxhash64(F.col(seed_col), F.lit("strat_v1")),
+                    F.lit(1_000_000))
+    return df.filter(frac.isNotNull() &
+                     (bucket < (frac * 1_000_000).cast("long")))

@@ -397,3 +397,50 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
         assert got == want, (
             f"thr={thr}: missing={set(want) - set(got)} "
             f"phantom={set(got) - set(want)}")
+
+
+def test_mean_pool_embeddings(spark):
+    """Component-wise mean per group, L2-normalized; single-vector groups
+    pool to their own (normalized) vector; plan is ONE aggregation (no
+    posexplode of n x dim rows)."""
+    import math
+
+    rows = [
+        ("d1", [1.0] + [0.0] * 63),
+        ("d1", [0.0, 1.0] + [0.0] * 62),
+        ("d2", [2.0] + [0.0] * 63),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    got = {r.doc_id: (r.n_vecs, r.embedding)
+           for r in SIM.mean_pool(df, "doc_id").collect()}
+    assert got["d2"][0] == 1 and got["d2"][1][0] == 1.0  # unit-normalized
+    n, v = got["d1"]
+    assert n == 2
+    assert abs(v[0] - 1 / math.sqrt(2)) < 1e-12
+    assert abs(v[1] - 1 / math.sqrt(2)) < 1e-12
+    assert all(x == 0.0 for x in v[2:])
+    plan = SIM.mean_pool(df, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Generate" not in plan  # no explode path
+
+
+def test_stratified_sample_is_deterministic_and_proportional(spark):
+    from smart_pdf_md_spark.operators.textstats import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(20000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    frac = {"en": 0.25, "de": 1.0}
+    s1 = stratified_sample(df, "lang", frac)
+    s2 = stratified_sample(df.repartition(17), "lang", frac)
+    a = {r.doc_id for r in s1.collect()}
+    b = {r.doc_id for r in s2.collect()}
+    assert a == b  # pure function of the row id — partitioning-invariant
+    by = {r.lang: r.cnt for r in
+          s1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by["de"] == 10000                   # fraction 1.0 keeps all
+    assert abs(by["en"] / 10000 - 0.25) < 0.02  # hash-uniform ≈ 25%
+    # strata without a fraction are dropped
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") < 10, "fr")
+                        .otherwise(F.col("lang")))
+    assert stratified_sample(df2, "lang", frac) \
+        .filter("lang = 'fr'").count() == 0
