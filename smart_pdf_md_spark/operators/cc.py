@@ -66,6 +66,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                          local_max_edges: int = LOCAL_CC_MAX_EDGES) -> DataFrame:
     """edges(name_a, name_b) → (name, component) with component = min name.
 
+    Min-label propagation converges in O(diameter) rounds — the right trade
+    for entity-variant graphs, whose components are tiny star-ish clusters
+    (diameter ≤ 3 in practice). For adversarial long-chain graphs the
+    O(log n)-round alternative is large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014); not needed
+    for this workload and deliberately not implemented.
+
     Isolated nodes are the caller's concern (left-join the result and
     coalesce to the node itself) — keeps the iteration state minimal.
     Set ``local_max_edges=0`` to force the distributed fixpoint (parity

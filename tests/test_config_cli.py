@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -196,3 +197,18 @@ def test_cli_engine_flag(tmp_path):
         base + ["--run-dir", str(tmp_path / "r2"), "--engine", "marker"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert r2.returncode == 9, (r2.returncode, r2.stderr[-1500:])
+
+
+def test_runlog_never_raises(tmp_path):
+    """A full disk / bad path must not kill a run over a log line."""
+    from smart_pdf_md_spark.runlog import JsonRunLog
+
+    JsonRunLog("/proc/definitely/not/writable/run.log").log("msg")  # no raise
+    d = tmp_path / "ro"
+    d.mkdir()
+    os_mode = d.stat().st_mode
+    d.chmod(0o400)
+    try:
+        JsonRunLog(str(d / "run.log")).log("msg")  # no raise
+    finally:
+        d.chmod(os_mode)
