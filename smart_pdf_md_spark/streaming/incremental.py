@@ -41,14 +41,30 @@ def run_incremental(spark: SparkSession, corpus_dir: str, out_dir: str,
                     checkpoint_dir: str, once: bool = True):
     """Start (and with once=True, drain) the incremental extraction query.
 
-    Each micro-batch appends to `out_dir` parquet; the streaming checkpoint
-    guarantees a file is extracted exactly once across restarts — the
-    streaming counterpart of plans/manifests.pending_inputs.
+    Each micro-batch commits through the SAME snapshot protocol as batch
+    runs (plans/manifests.commit_stage, mode='append'): the streamed
+    mentions stage is readable via read_stage, carries per-partition
+    digests, and a batch-mode run can resume on top of it. Exactly-once is
+    two-layered — the streaming checkpoint stops a source file from being
+    re-extracted across restarts, and the epoch-keyed batch id makes a
+    REPLAYED foreachBatch (crash between sink write and checkpoint commit)
+    idempotent: a replay overwrites its own immutable b_epochN dir instead
+    of appending a duplicate. Each epoch's manifest recomputes over the
+    whole committed snapshot (append-mode cost) — size micro-batches
+    accordingly via maxFilesPerTrigger.
     """
+    from ..plans.manifests import _read_marker, commit_stage
+
     mentions = stream_mentions(spark, corpus_dir)
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        rid = f"epoch{epoch_id:06d}"
+        prev = _read_marker(out_dir, "mentions")
+        if prev and f"b_{rid}" in (prev.get("batches") or []):
+            return  # replayed epoch already in the committed snapshot
+        commit_stage(batch_df, out_dir, "mentions",
+                     key_cols=["file_id", "kind", "name", "line"],
+                     run_id=rid, mode="append")
 
     writer = (
         mentions.writeStream.outputMode("append")
