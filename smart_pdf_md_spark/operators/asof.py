@@ -53,3 +53,44 @@ def asof_join(
 
     out = u.select("*", *picked).filter(F.col("_stream") == 1)
     return out.drop("_stream", *[f"_v_{c}" for c in value_cols])
+
+
+def range_join(points: DataFrame, intervals: DataFrame, *,
+               point_col: str, start_col: str, end_col: str,
+               by: str | None = None, bin_size: float | None = None) -> DataFrame:
+    """Interval/range join — Spark's other native-operator gap: every
+    (point, interval) pair with start ≤ point < end (optionally also
+    matching a `by` key).
+
+    Naive Spark plans this as BroadcastNestedLoopJoin (O(n·m) comparisons,
+    and a detonation when neither side broadcasts). This is the standard
+    BINNED formulation (the technique behind Databricks' range-join hints
+    and interval joins in stream processors): quantize to width-`bin_size`
+    bins, explode each interval to the bins it overlaps, equi-join on the
+    bin (plus `by`), then apply the exact range predicate. The join becomes
+    a hash shuffle; pair work is bounded by occupancy per bin, so pick
+    `bin_size` near the TYPICAL interval length (default: exactly that,
+    estimated with one tiny agg — at most ~2-3 bins per interval).
+
+    Intervals are half-open [start, end). Output = points columns +
+    interval columns (interval's `by`/bin housekeeping dropped)."""
+    if bin_size is None:
+        est = intervals.agg(
+            F.avg(F.col(end_col) - F.col(start_col))).collect()[0][0]
+        bin_size = float(est) if est and est > 0 else 1.0
+    b = float(bin_size)
+
+    # half-open [start, end): the last overlapped bin is ceil(end/b) - 1
+    # (NOT floor(end/b) — an end exactly on a bin boundary belongs to the
+    # previous bin). For end > start this is always ≥ the first bin.
+    first = F.floor(F.col(start_col) / b).cast("long")
+    last = (F.ceil(F.col(end_col) / b) - 1).cast("long")
+    ivl = (intervals.filter(F.col(end_col) > F.col(start_col))
+           .withColumn("_bin", F.explode(F.sequence(first, last))))
+    pts = points.withColumn("_bin", F.floor(F.col(point_col) / b))
+    keys = ["_bin"] + ([by] if by else [])
+    out = (pts.join(ivl, keys)
+           .filter((F.col(start_col) <= F.col(point_col)) &
+                   (F.col(point_col) < F.col(end_col)))
+           .drop("_bin"))
+    return out

@@ -42,3 +42,49 @@ def test_asof_multiple_value_cols(spark):
     row = asof_join(left, right, on="ts", by="by",
                     value_cols=["v1", "v2"]).collect()[0]
     assert (row.asof_v1, row.asof_v2) == (10, "x")
+
+
+def test_range_join_exact_vs_bruteforce(spark):
+    """Binned range join == the O(n·m) cross-join predicate, including
+    boundary bins (end exactly on a bin edge), empty intervals, keyed and
+    keyless variants, and bin sizes smaller/larger than the intervals."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.asof import range_join
+
+    rng = random.Random(5)
+    pts = [(i, rng.choice("ab"), round(rng.uniform(0, 100), 3))
+           for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = round(rng.uniform(0, 95), 3)
+        ivs.append((j, rng.choice("ab"), s, round(s + rng.uniform(0, 8), 3)))
+    ivs += [(97, "a", 10.0, 10.0),   # empty interval -> matches nothing
+            (98, "a", 20.0, 25.0),   # integer boundaries
+            (99, "b", 0.0, 100.0)]   # interval spanning everything
+    points = spark.createDataFrame(pts, ["pid", "k", "x"])
+    intervals = spark.createDataFrame(ivs, ["iid", "k", "lo", "hi"])
+
+    def brute(by):
+        cond = (F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi"))
+        if by:
+            cond = cond & (points["k"] == intervals["k"])
+        return {(r.pid, r.iid) for r in
+                points.join(intervals, cond).select("pid", "iid").collect()}
+
+    for by, bin_size in [("k", None), ("k", 1.0), ("k", 50.0), (None, 4.0)]:
+        got_df = range_join(points, intervals.withColumnsRenamed({"k": "ik"})
+                            if by is None else intervals,
+                            point_col="x", start_col="lo", end_col="hi",
+                            by=by, bin_size=bin_size)
+        got = {(r.pid, r.iid) for r in got_df.select("pid", "iid").collect()}
+        want = brute(by)
+        assert got == want, f"by={by} bin={bin_size}: " \
+            f"missing={want - got} phantom={got - want}"
+    # the plan is an equi-join (hash-joinable), not a nested-loop range scan
+    plan = range_join(points, intervals, point_col="x", start_col="lo",
+                      end_col="hi", by="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan
