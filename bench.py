@@ -91,6 +91,11 @@ def main() -> int:
     from smart_pdf_md_spark.operators.extract import mentions_only
 
     corpus = _bench_corpus(spark, KG_BENCH_FILES)
+    # warm the corpus scan before timing (same discipline as
+    # scaling_bench.py): the host reclaims the page cache between runs, and
+    # a cold first pass otherwise charges ~60s of disk re-read to the
+    # pipeline number
+    corpus.count()
     need = ["file_id", "repo", "path", "kind", "name", "enclosing",
             "content_sha256", "mention_id"]
     # best of 2: this microVM shows host page-cache reclaim + ±30% noise;
