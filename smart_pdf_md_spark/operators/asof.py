@@ -72,8 +72,9 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
     `bin_size` near the TYPICAL interval length (default: exactly that,
     estimated with one tiny agg — at most ~2-3 bins per interval).
 
-    Intervals are half-open [start, end). Output = points columns +
-    interval columns (interval's `by`/bin housekeeping dropped)."""
+    Intervals are half-open [start, end). Columns must be NUMERIC (cast
+    timestamps to epoch seconds first). Output = points columns + interval
+    columns (bin housekeeping dropped)."""
     if bin_size is None:
         est = intervals.agg(
             F.avg(F.col(end_col) - F.col(start_col))).collect()[0][0]

@@ -169,8 +169,8 @@ def ivf_train(emb: DataFrame, n_lists: int = 16, n_iters: int = 3,
     if sample_mod > 1:
         base = base.filter(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
     cents = np.array(
-        [r.v for r in base.select("v", F.xxhash64("id").alias("h"))
-         .orderBy("h").limit(n_lists).collect()], dtype="float64")
+        [r.v for r in base.select("v", F.xxhash64("id").alias("h"), "id")
+         .orderBy("h", "id").limit(n_lists).collect()], dtype="float64")
     if len(cents) == 0:
         raise ValueError("ivf_train: empty input")
     for _ in range(n_iters):

@@ -143,7 +143,10 @@ def make_session_updater(gap_sec: int = 1800):
                 yield emit(_split_sessions(sorted(pairs), gap_us))
             return
         for pdf in pdfs:
-            us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            # pin ns resolution before the int cast: a [us]-typed series
+            # (pandas-2 Arrow path) would silently land 1000× off
+            ts = pdf["ts"].astype("datetime64[ns]")
+            us = (ts.astype("int64") // 1_000).tolist()
             pairs += [p for p in zip(us, pdf["event_id"].tolist())
                       if p[0] >= wm_us]  # beyond-watermark late rows dropped
         pairs.sort()
