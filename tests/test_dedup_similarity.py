@@ -444,3 +444,23 @@ def test_stratified_sample_is_deterministic_and_proportional(spark):
                         .otherwise(F.col("lang")))
     assert stratified_sample(df2, "lang", frac) \
         .filter("lang = 'fr'").count() == 0
+
+
+def test_ivf_train_on_sample_and_unnormalized_pool(spark, clustered_emb):
+    """sample_mod trains the codebook on the deterministic 1/m id-hash
+    sliver (the 100 TB shape) and still yields usable recall; mean_pool
+    with normalize=False returns the raw component means."""
+    cents = SIM.ivf_train(clustered_emb, n_lists=8, n_iters=2, sample_mod=2)
+    assert cents.shape == (8, 64)
+    queries = clustered_emb.filter(F.col("vec_id") < 4)
+    exact = SIM.topk_bruteforce(clustered_emb, queries, k=5)
+    approx = SIM.topk_ivf(clustered_emb, queries, k=5, nprobe=8,
+                          centroids=cents)
+    rec = SIM.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    assert rec == 1.0  # nprobe = n_lists stays exhaustive on sampled codebook
+
+    df = spark.createDataFrame(
+        [("d", [3.0] + [0.0] * 63), ("d", [1.0] + [0.0] * 63)],
+        ["doc_id", "embedding"])
+    raw = SIM.mean_pool(df, "doc_id", normalize=False).collect()[0]
+    assert raw.embedding[0] == 2.0 and raw.n_vecs == 2
