@@ -195,6 +195,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing PROPER (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003): the distinct
+    minima of a width-`window` sliding window over the token n-gram hash
+    sequence — one (id, fingerprint) row per selected hash.
+
+    Guarantee (the paper's local property): any shared token run of length
+    ≥ n + window − 1 between two documents yields at least one shared
+    fingerprint, while only ~2/(window+1) of all gram hashes are kept —
+    the containment/plagiarism detector `fingerprint` (global min, a
+    single-row degenerate winnow) cannot provide. Pure Column exprs
+    (transform + slice + array_min over xxhash64 grams): JVM-side,
+    shuffle-free until the explode. Documents shorter than n tokens emit
+    one fingerprint of the whole text."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    fps = F.when(F.size(toks) == 0, F.array().cast("array<bigint>"))         .otherwise(F.array_distinct(wins))
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(fps).alias("fingerprint"))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed_col: str = "doc_id") -> DataFrame:
     """Deterministic per-stratum sampling for training-data mixes (e.g.

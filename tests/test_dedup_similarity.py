@@ -464,3 +464,54 @@ def test_ivf_train_on_sample_and_unnormalized_pool(spark, clustered_emb):
         ["doc_id", "embedding"])
     raw = SIM.mean_pool(df, "doc_id", normalize=False).collect()[0]
     assert raw.embedding[0] == 2.0 and raw.n_vecs == 2
+
+
+def test_winnow_fingerprints_match_reference_and_detect_containment(spark):
+    """Winnowing: (1) the selected hashes equal an independent Python
+    window-min over the same gram-hash sequence; (2) identical docs have
+    identical fingerprint sets; (3) the SIGMOD'03 local guarantee — a doc
+    embedded verbatim inside a larger one (shared run >= n+window-1 tokens)
+    shares >= 1 fingerprint; (4) selection keeps ~2/(w+1) of grams."""
+    import random
+
+    from smart_pdf_md_spark.operators.textstats import winnow_fingerprints
+
+    rng = random.Random(11)
+    inner = " ".join(rng.choice("abcdefgh") + str(i % 7) for i in range(30))
+    docs = [
+        (1, inner),
+        (2, inner),  # identical twin
+        (3, " ".join(["pre" + str(i) for i in range(20)]) + " " + inner +
+            " " + " ".join("post" + str(i) for i in range(20))),
+        (4, " ".join("zz" + str(rng.randrange(1000)) for i in range(200))),
+        (5, "one two"),  # shorter than n -> whole-text fingerprint
+        (6, ""),         # empty -> no rows
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    n, w = 3, 4
+    got = {}
+    for r in winnow_fingerprints(df, n=n, window=w).collect():
+        got.setdefault(r.id, set()).add(r.fingerprint)
+
+    # independent reference: gram hashes from Spark (shared primitive),
+    # window-min + distinct in plain Python (the logic under test)
+    from pyspark.sql import functions as F
+    from smart_pdf_md_spark.operators.textstats import tokens_col
+    toks = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    gh = {r.doc_id: r.g for r in df.select("doc_id", grams.alias("g")).collect()}
+    for did, hs in gh.items():
+        if not docs[did - 1][1].strip():
+            assert did not in got
+            continue
+        want = {min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))}
+        assert got[did] == want, did
+
+    assert got[1] == got[2]                      # identical -> identical
+    assert got[1] & got[3]                       # contained -> shared fp
+    assert not (got[1] & got[4])                 # unrelated -> disjoint
+    assert len(got[5]) == 1                      # short doc: one fp
+    # density: doc 4 has ~198 grams; winnowing keeps ~2/(w+1) of them
+    assert len(got[4]) < 198 * 0.6
