@@ -515,3 +515,53 @@ def test_winnow_fingerprints_match_reference_and_detect_containment(spark):
     assert len(got[5]) == 1                      # short doc: one fp
     # density: doc 4 has ~198 grams; winnowing keeps ~2/(w+1) of them
     assert len(got[4]) < 198 * 0.6
+
+
+def test_training_data_curation_pipeline_end_to_end(spark):
+    """The whole curation story as ONE composed lazy plan over the driver
+    documents table: PII scrub → quality floor → deterministic stratified
+    sample → exact dedup (keep keepers only) → token-window chunking.
+    Row accounting is exact at every stage and the final chunks are clean,
+    deduped, sampled, and fully token-covering."""
+    from smart_pdf_md_spark.operators.dedup import exact_dedup
+    from smart_pdf_md_spark.operators.textstats import (
+        chunk_documents, quality_score, scrub_text, stratified_sample)
+    from smart_pdf_md_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    scrubbed = scrub_text(docs) \
+        .select("doc_id", F.col("text_scrubbed").alias("text")) \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    scores = quality_score(scrubbed).select("doc_id", "quality")
+    q = scrubbed.join(scores, "doc_id").filter(F.col("quality") >= 0.3) \
+        .select("doc_id", "lang", "text")
+    n_q = q.count()
+    assert 0 < n_q <= n0
+
+    langs = [r.lang for r in q.select("lang").distinct().collect()]
+    frac = {lg: (1.0 if i % 2 else 0.5) for i, lg in enumerate(sorted(langs))}
+    sampled = stratified_sample(q, "lang", frac)
+    n_s = sampled.count()
+    assert 0 < n_s <= n_q
+
+    keepers = exact_dedup(sampled).select(
+        F.col("keeper_id").alias("doc_id"))
+    unique = sampled.join(keepers, "doc_id")  # exact-dup losers dropped
+    n_u = unique.count()
+    assert n_u == sampled.select("text").distinct().count()
+
+    chunks = chunk_documents(unique, chunk_tokens=64, overlap=8)
+    # every surviving non-empty doc chunks; token coverage is exact
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"))
+    bad = per_doc.filter(F.col("n_chunks") != F.col("max_idx") + 1).count()
+    assert bad == 0  # contiguous chunk indexes per doc
+    n_docs_chunked = per_doc.count()
+    n_nonempty = unique.filter(F.length(F.trim("text")) > 0).count()
+    assert n_docs_chunked == n_nonempty
+    # no chunk leaks PII tokens that scrub_text redacts
+    assert chunks.filter(F.col("chunk_text").rlike(
+        r"[\w.+-]+@[\w-]+\.[A-Za-z]{2,}")).count() == 0
