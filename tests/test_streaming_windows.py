@@ -207,3 +207,54 @@ def test_stateful_sessions_subset_of_batch(spark, tmp_path):
                for r in got.itertuples(index=False)}
     assert emitted <= want, f"phantom sessions: {list(emitted - want)[:3]}"
     assert len(emitted) > 0
+
+
+def test_stateful_sessions_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state recovery: drain batch 1 (session tail
+    buffered in state), STOP the query, start a NEW query on the same
+    checkpoint for batch 2 — the restored buffer merges with the new rows
+    into ONE session, emitted exactly once."""
+    from datetime import datetime, timedelta
+
+    from smart_pdf_md_spark.streaming.windows import stateful_sessions
+
+    t0 = datetime(2025, 6, 1)
+    mn = timedelta(minutes=1)
+    path = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions_out")
+
+    def drain():
+        # foreachBatch parquet sink: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test is about
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double, props string")
+                  .option("maxFilesPerTrigger", "1").parquet(path))
+        q = (stateful_sessions(stream, gap_sec=1800, watermark="10 minutes")
+             .writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch 1: first half of a session (events at t0, t0+10min)
+    _write_event_file(spark, path, [(1, t0, 1), (2, t0 + 10 * mn, 1)],
+                      mtime=1_000)
+    drain()  # query 1 ends; session tail lives only in checkpointed state
+
+    # NEW query, same checkpoint: session continues at +20min; then two
+    # far-future batches (the watermark a batch runs under comes from the
+    # PREVIOUS batch's max, so closing needs one batch past the advance)
+    _write_event_file(spark, path, [(3, t0 + 20 * mn, 1)], mtime=2_000)
+    _write_event_file(spark, path, [(4, t0 + 1000 * mn, 1)], mtime=3_000)
+    _write_event_file(spark, path, [(5, t0 + 2000 * mn, 1)], mtime=4_000)
+    drain()
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.read.parquet(out).collect()}
+    # ONE 3-event session spanning the restart — the pre-restart buffer was
+    # recovered, not re-emitted and not lost
+    assert got == {(1, t0, t0 + 20 * mn, 3)}
