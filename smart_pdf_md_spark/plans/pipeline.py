@@ -193,3 +193,20 @@ def build_triples(
         "triples": triples,
         "summary": run_summary(status),
     }
+
+
+def register_kg_views(spark: SparkSession, plan: dict,
+                      prefix: str = "") -> list[str]:
+    """Expose every DataFrame in a build_triples()/run_kg() result dict as a
+    temp view (`<prefix><stage>`), so the whole KG is queryable through
+    plain ``spark.sql`` — the SQL half of the DataFrame/SQL surface. Views
+    are lazy plan aliases: Catalyst optimizes through them exactly as it
+    does the DataFrames (predicate pushdown into the committed parquet,
+    broadcast of the entity dim, ...). Returns the registered names."""
+    names = []
+    for stage, df in plan.items():
+        if isinstance(df, DataFrame):
+            name = f"{prefix}{stage}"
+            df.createOrReplaceTempView(name)
+            names.append(name)
+    return names

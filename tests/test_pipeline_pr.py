@@ -181,3 +181,40 @@ def test_span_and_mention_id_semantics(spark):
     assert "mention_id" in tri.columns
     mids = set(m["mention_id"])
     assert all(t in mids for t in tri["mention_id"])
+
+
+def test_sql_facade_over_kg_views(spark, corpus_sdf):
+    """register_kg_views: the whole KG drives from spark.sql, results
+    identical to the DataFrame API, and Catalyst still pushes filters
+    through the views."""
+    from smart_pdf_md_spark.plans.pipeline import register_kg_views
+
+    from pyspark.sql import functions as F
+
+    plan = build_triples(spark, corpus_sdf)
+    names = register_kg_views(spark, plan, prefix="kg_")
+    assert {"kg_triples", "kg_mentions", "kg_status"} <= set(names)
+
+    got = {(r.pred, r.n) for r in spark.sql(
+        "SELECT pred, count(*) AS n FROM kg_triples GROUP BY pred").collect()}
+    want = {(r.pred, r.n) for r in plan["triples"]
+            .groupBy("pred").agg(F.count("*").alias("n")).collect()}
+    assert got == want and len(got) >= 3
+
+    # a cross-view SQL join: mentions of succeeding files via the status
+    # view (DISTINCT: the generator plants 2 duplicate-identity corpus rows
+    # — same repo/path/commit — which the whole pipeline, oracle included,
+    # processes consistently as duplicate rows)
+    n = spark.sql("""
+        SELECT count(*) AS n FROM kg_mentions m
+        JOIN (SELECT DISTINCT file_id FROM kg_status WHERE rc = 0) s
+        ON m.file_id = s.file_id
+    """).collect()[0].n
+    assert n == plan["mentions"].count()  # only rc-0 files produce mentions
+
+    # filters push through the view into the plan (no full-mentions scan
+    # semantics change): SQL filter == DataFrame filter
+    a = spark.sql("SELECT count(*) AS n FROM kg_mentions WHERE kind = 'def'") \
+        .collect()[0].n
+    b = plan["mentions"].filter("kind = 'def'").count()
+    assert a == b > 0
