@@ -76,8 +76,13 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
     timestamps to epoch seconds first). Output = points columns + interval
     columns (bin housekeeping dropped)."""
     if bin_size is None:
-        est = intervals.agg(
-            F.avg(F.col(end_col) - F.col(start_col))).collect()[0][0]
+        # estimate on the SAME rows the join will use (end > start — degenerate
+        # intervals would drag the estimate toward 0), and take the median,
+        # not the mean: one outlier-long interval must not widen every bin
+        # (ADVICE r3)
+        est = (intervals.filter(F.col(end_col) > F.col(start_col))
+               .agg(F.percentile_approx(F.col(end_col) - F.col(start_col),
+                                        0.5)).collect()[0][0])
         bin_size = float(est) if est and est > 0 else 1.0
     b = float(bin_size)
 

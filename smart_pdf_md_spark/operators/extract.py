@@ -198,14 +198,34 @@ def extract_mentions(routed: DataFrame,
             yield pd.DataFrame(out, columns=list(cols))
 
     extracted = routed.mapInPandas(run, schema=_ARROW_SCHEMA)
-    # stable per-mention join key, JVM-side (kind/name/line are unique per
-    # file after dedupe_mentions, so the id is unique per mention row)
-    mention_id = F.when(
+    return extracted.withColumn("mention_id", mention_id_col())
+
+
+def mention_id_col():
+    """Stable per-mention join key, JVM-side (kind/name/line are unique per
+    file after dedupe_mentions, so the id is unique per mention row). A pure
+    derivation of columns that exist in every schema version — shared by
+    extract_mentions and the resume-time backfill so the two can't drift."""
+    return F.when(
         F.col("kind") != FILE_MARKER,
         F.substring(
             F.sha2(F.concat_ws("\x1f", "file_id", "kind", "name",
                                F.col("line").cast("string")), 256), 1, 16))
-    return extracted.withColumn("mention_id", mention_id)
+
+
+def ensure_mention_schema(extracted: DataFrame) -> DataFrame:
+    """Backfill a pre-r3 committed mentions stage on read (ADVICE r3):
+    snapshots committed before span/mention_id existed would otherwise make
+    triples_from_mentions raise UNRESOLVED_COLUMN on resume. `mention_id`
+    is recomputed with the exact extract-time expression (pure derivation);
+    `span` cannot be re-derived without content, so it backfills as null —
+    the same value status rows carry. No-op on current-schema frames."""
+    if "span" not in extracted.columns:
+        extracted = extracted.withColumn(
+            "span", F.lit(None).cast("array<int>"))
+    if "mention_id" not in extracted.columns:
+        extracted = extracted.withColumn("mention_id", mention_id_col())
+    return extracted
 
 
 def mentions_only(extracted: DataFrame) -> DataFrame:

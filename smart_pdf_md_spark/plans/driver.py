@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.cc import canonical_triples, entity_table
-from ..operators.extract import file_status, mentions_only
+from ..operators.extract import ensure_mention_schema, file_status, mentions_only
 from ..operators.linking import link_edges
 from .manifests import commit_stage, pending_inputs, run_stage, stage_committed
 from .pipeline import build_mentions, triples_from_mentions
@@ -57,6 +57,8 @@ def run_kg(
         MENTION_KEYS,
     )
     _note("mentions")
+    # pre-r3 snapshots lack span/mention_id — backfill on read (ADVICE r3)
+    extracted = ensure_mention_schema(extracted)
     mentions = mentions_only(extracted)
 
     triples, resumed["triples"] = run_stage(
@@ -64,6 +66,15 @@ def run_kg(
         lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
         deps=["mentions"],
     )
+    if "mention_id" not in triples.columns:
+        # a pre-r3 triples snapshot can't be backfilled (its mention_id is a
+        # min over mention rows the snapshot no longer has) — rebuild it from
+        # the (backfilled) mentions stage
+        triples, resumed["triples"] = run_stage(
+            spark, run_dir, "triples",
+            lambda: triples_from_mentions(mentions), TRIPLE_KEYS,
+            deps=["mentions"], force=True,
+        )
     _note("triples")
     # vocabulary computed at most once per run, shared by edges + entities
     # (each stage reads the committed mentions parquet, so extraction is

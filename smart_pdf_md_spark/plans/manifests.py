@@ -74,39 +74,96 @@ def _read_marker(run_dir: str, stage: str) -> dict | None:
             "manifest": "manifest.parquet"}
 
 
+def _proc_start(pid: int) -> str | None:
+    """Kernel start-time ticks of `pid` (/proc/<pid>/stat field 22) — a
+    recycling-proof identity token: a reused pid gets a new start time.
+    World-readable, so it works for other users' processes too. None when
+    the pid does not exist or /proc is unavailable (non-Linux)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces/parens — split after the LAST ')'
+        return stat.rsplit(")", 1)[1].split()[19]  # field 22, 0-indexed 19
+    except (OSError, IndexError):
+        return None
+
+
+def _read_lock(path: str) -> tuple[int, str | None, str | None]:
+    """→ (pid, token, start). Accepts the pre-r4 plain-pid format."""
+    try:
+        raw = open(path).read().strip()
+    except OSError:
+        return 0, None, None
+    try:
+        d = json.loads(raw)
+        return int(d.get("pid", 0)), d.get("token"), d.get("start")
+    except (ValueError, TypeError, AttributeError):
+        try:
+            return int(raw or "0"), None, None
+        except ValueError:
+            return 0, None, None
+
+
+def _holder_dead(pid: int, start: str | None) -> bool:
+    """A lock holder is provably dead when its pid is gone, or when the pid
+    exists but belongs to a DIFFERENT process (start-time mismatch — pid
+    recycling, ADVICE r3). kill(pid, 0) alone can neither distinguish a
+    recycled pid nor probe another user's process (PermissionError)."""
+    if not pid:
+        return True  # unreadable/empty lock: treat as a torn write, steal it
+    cur = _proc_start(pid)
+    if cur is None:
+        # no /proc entry → double-check via signal 0 (covers non-Linux)
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, other user, no /proc — conservatively held
+        return False
+    if start is not None and cur != start:
+        return True  # pid recycled: same number, different process
+    return False  # alive (legacy pid-only locks: alive pid ⇒ held)
+
+
 @contextlib.contextmanager
 def _commit_lock(sdir: str, timeout: float = 300.0, poll: float = 0.05):
     """Serialize commits per stage dir — the sandbox stand-in for Iceberg's
     catalog CAS. Without it, two concurrent appends both read the same prior
     snapshot and the second pointer swap silently drops the first's batch
-    (classic lost update). An O_EXCL pid-file is the lock; a holder that
-    died mid-commit (SIGKILL) is detected via kill(pid, 0) and stolen, so a
-    crashed run never wedges the stage."""
+    (classic lost update). The lock is an O_EXCL file recording
+    {pid, token, start-time}; a holder that died mid-commit (SIGKILL) — or
+    whose pid was recycled by an unrelated process — is detected and stolen.
+
+    Steal protocol (ADVICE r3 race): the stale lock is os.rename'd to a
+    unique temp name FIRST — rename is atomic and exactly one contender
+    succeeds — then the winner retries the O_EXCL create. The old
+    remove-then-create steal let two waiters both observe the dead holder,
+    waiter B's remove delete waiter A's freshly created lock, and both
+    enter the critical section."""
     os.makedirs(sdir, exist_ok=True)
     path = os.path.join(sdir, "_COMMIT_LOCK")
+    token = uuid.uuid4().hex
+    payload = json.dumps({"pid": os.getpid(), "token": token,
+                          "start": _proc_start(os.getpid())})
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, payload.encode())
             os.close(fd)
             break
         except FileExistsError:
-            try:
-                pid = int(open(path).read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            dead = False
-            if pid:
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    dead = True
-                except PermissionError:
-                    pass
-            if dead:
+            pid, _, start = _read_lock(path)
+            if _holder_dead(pid, start):
+                # atomic steal: exactly one renamer wins; losers loop and
+                # find either the winner's fresh lock or nothing
                 with contextlib.suppress(OSError):
-                    os.remove(path)
+                    os.rename(path, f"{path}.stale.{uuid.uuid4().hex}")
+                for f in os.listdir(sdir):
+                    if f.startswith("_COMMIT_LOCK.stale."):
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(sdir, f))
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"stage commit lock busy: {path}")
@@ -114,8 +171,12 @@ def _commit_lock(sdir: str, timeout: float = 300.0, poll: float = 0.05):
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(path)
+        # release only OUR lock: if it was (mis)stolen, the thief's file
+        # carries a different token and must survive this cleanup
+        _, cur_token, _ = _read_lock(path)
+        if cur_token == token:
+            with contextlib.suppress(OSError):
+                os.remove(path)
 
 
 def _write_atomic(path: str, payload: str) -> None:

@@ -88,3 +88,26 @@ def test_range_join_exact_vs_bruteforce(spark):
                       end_col="hi", by="k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_range_join_default_bin_ignores_degenerate_intervals(spark):
+    """The auto bin_size estimate must use the median over VALID intervals
+    only (ADVICE r3): planted end<=start rows and one outlier-long interval
+    would otherwise skew an avg-over-everything estimate; either way the
+    result must equal the brute-force predicate."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                ["pid", "x"])
+    ivs = spark.createDataFrame(
+        # typical length 2; planted: zero-length, inverted, one 10_000-long
+        [(0, 3.0, 5.0), (1, 10.0, 12.0), (2, 20.0, 22.0),
+         (3, 7.0, 7.0), (4, 9.0, 4.0), (5, 0.0, 10_000.0)],
+        ["iid", "s", "e"])
+    got = sorted((r.pid, r.iid) for r in range_join(
+        pts, ivs, point_col="x", start_col="s", end_col="e").collect())
+    want = sorted((r.pid, r.iid) for r in pts.crossJoin(ivs).filter(
+        (F.col("s") <= F.col("x")) & (F.col("x") < F.col("e"))).collect())
+    assert got == want and len(got) > 0

@@ -307,3 +307,65 @@ def test_stale_commit_lock_is_stolen(spark, run_dir):
         with _commit_lock(sdir, timeout=0.3):
             pass
     os.remove(os.path.join(sdir, "_COMMIT_LOCK"))
+
+
+def test_recycled_pid_lock_is_stolen(spark, run_dir):
+    """A lock whose pid is ALIVE but belongs to a different process (pid
+    recycling — the start-time token mismatches) must be stolen, not block
+    the full timeout (ADVICE r3). pid 1 always exists and is never us."""
+    import json
+
+    from smart_pdf_md_spark.plans.manifests import _commit_lock, _proc_start
+
+    stage = "triples"
+    sdir = os.path.join(run_dir, stage)
+    os.makedirs(sdir, exist_ok=True)
+    path = os.path.join(sdir, "_COMMIT_LOCK")
+    assert _proc_start(1) is not None  # /proc is available here
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "token": "dead", "start": "0"}, f)
+    with _commit_lock(sdir, timeout=5.0):  # would TimeoutError pre-fix
+        pass
+    assert not os.path.exists(path)
+
+    # and a live holder with a MATCHING start token is still honored
+    with open(path, "w") as f:
+        json.dump({"pid": os.getpid(), "token": "live",
+                   "start": _proc_start(os.getpid())}, f)
+    with pytest.raises(TimeoutError):
+        with _commit_lock(sdir, timeout=0.3):
+            pass
+    os.remove(path)
+
+
+def test_pre_r3_run_dir_resumes_with_backfill(spark, corpus_sdf, run_dir):
+    """A run_dir whose mentions/triples stages were committed BEFORE span +
+    mention_id existed must resume, not raise UNRESOLVED_COLUMN (ADVICE r3):
+    mentions backfill on read (mention_id is a pure re-derivation, span →
+    null); the triples stage (whose mention_id was an aggregate the snapshot
+    no longer carries) force-rebuilds from the backfilled mentions."""
+    from smart_pdf_md_spark.plans.driver import MENTION_KEYS, TRIPLE_KEYS
+    from smart_pdf_md_spark.plans.manifests import commit_stage
+    from smart_pdf_md_spark.plans.pipeline import (
+        build_mentions,
+        triples_from_mentions,
+    )
+    from smart_pdf_md_spark.operators.extract import mentions_only
+
+    extracted = build_mentions(spark, corpus_sdf)
+    legacy = extracted.drop("span", "mention_id")
+    commit_stage(legacy, run_dir, "mentions", MENTION_KEYS)
+    legacy_triples = triples_from_mentions(
+        mentions_only(extracted)).drop("mention_id")
+    commit_stage(legacy_triples, run_dir, "triples", TRIPLE_KEYS,
+                 deps=["mentions"])
+
+    res = run_kg(spark, corpus_sdf, run_dir)
+    assert res["resumed"]["mentions"] is True  # legacy snapshot reused as-is
+    assert res["resumed"]["triples"] is False  # old schema → forced rebuild
+    assert "mention_id" in res["triples"].columns
+    assert "span" in res["mentions"].columns
+    # the backfilled ids equal the extract-time derivation bit-for-bit
+    fresh = triples_from_mentions(mentions_only(extracted))
+    assert sorted(map(tuple, res["triples"].collect())) == \
+        sorted(map(tuple, fresh.collect()))
