@@ -584,12 +584,13 @@ def _dedup_jaccard(spark, sf):
 
 _DEDUP_JACCARD_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
-  WHERE length(trim(text)) > 0
+  SELECT * FROM (
+    SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+  ) WHERE len(tk) >= 3
 ), sh AS (
   SELECT DISTINCT doc_id,
          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-  FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS t(i)
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (

@@ -43,13 +43,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle-hash) postings. Shingles are xxhash64'd before the
     self-join: the shuffle moves 8-byte longs instead of ~30-byte strings
-    (64-bit collisions are immaterial next to the Jaccard threshold)."""
+    (64-bit collisions are immaterial next to the Jaccard threshold).
+
+    Documents with fewer than n tokens have NO n-gram shingles and are
+    excluded (they contribute no pairs). The r3 formulation emitted one ""
+    shingle for empty docs and one short gram for sub-n docs — so two empty
+    documents scored J=1.0 while the SQL oracle (which filters them) found
+    nothing (r3 VERDICT "what's wrong" #1); the divergence was latent only
+    because the driver corpus has no such rows."""
     toks = tokens_col(F.col(text_col))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.select(
+    return df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(
             F.transform(grams, lambda g: F.xxhash64(g)))).alias("shingle"),
