@@ -943,6 +943,68 @@ def _ann_lsh(spark, sf):
     return SIM.topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
+def _j8_range_join(spark, sf):
+    # binned interval join (operators/asof.py:range_join, exact-vs-bruteforce
+    # pinned by tests/test_asof.py) — oracle expresses the exact range
+    # predicate directly; only integer ids cross the compare (no float hash
+    # risk). Intervals: each signup covers [value, value+25); points: every
+    # event of the first 20 users.
+    from smart_pdf_md_spark.operators.asof import range_join
+    ev = _t(spark, sf, "events")
+    ivs = (ev.filter((F.col("event_type") == "signup") & (F.col("user_id") < 20))
+           .select(F.col("event_id").alias("ivl_id"),
+                   F.col("value").alias("v_start"),
+                   (F.col("value") + 25.0).alias("v_end")))
+    pts = (ev.filter(F.col("user_id") < 20)
+           .select(F.col("event_id").alias("point_event"),
+                   F.col("value").alias("v")))
+    return range_join(pts, ivs, point_col="v", start_col="v_start",
+                      end_col="v_end").select("point_event", "ivl_id")
+
+
+_J8_SQL = """
+SELECT p.event_id AS point_event, i.event_id AS ivl_id
+FROM (SELECT event_id, value FROM events WHERE user_id < 20) p
+JOIN (SELECT event_id, value FROM events
+      WHERE event_type = 'signup' AND user_id < 20) i
+  ON i.value <= p.value AND p.value < i.value + 25.0
+"""
+
+
+def _mean_pool(spark, sf):
+    # dim-wide agg in ONE groupBy (operators/similarity.py:mean_pool); the
+    # pooled vector is projected to a %.4f CSV string (driver Categorical
+    # canon cannot hash list cells). round(x+1e-9,4)+0 normalizes both the
+    # half-way ties and IEEE -0.0 on both engines.
+    emb = _t(spark, sf, "embeddings")
+    pooled = SIM.mean_pool(emb, "label", normalize=False)
+    emb_str = F.array_join(
+        F.transform("embedding",
+                    lambda x: F.format_string("%.4f",
+                                              F.round(x + 1e-9, 4) + 0.0)), ",")
+    return pooled.select("label", "n_vecs", emb_str.alias("embedding"))
+
+
+_MEAN_POOL_SQL = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT label, i, v[i] AS x FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)),
+m AS (SELECT label, i, round(avg(x) + 1e-9, 4) + 0 AS c FROM ex GROUP BY label, i),
+n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+SELECT m.label, n.n_vecs,
+       array_to_string(list(printf('%.4f', m.c) ORDER BY m.i), ',') AS embedding
+FROM m JOIN n ON m.label = n.label
+GROUP BY m.label, n.n_vecs
+"""
+
+
+def _ann_ivf(spark, sf):
+    # IVF inverted-list ANN (similarity.py:topk_ivf): deterministic k-means
+    # codebook, probe = equi-join on list_id. Approximate → rows-only (recall
+    # ≥ gates live in tests/test_dedup_similarity.py).
+    emb = _t(spark, sf, "embeddings")
+    return SIM.topk_ivf(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
 def _mm_features(spark, sf):
     # the driver canonicalizer hashes cell values (pandas Categorical), which
     # cannot hash Python lists — project the array<double> feature to a
@@ -971,7 +1033,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "j5_semi_join": (_j5_semi, _J5_SQL),
     "j6_full_outer": (_j6_full_outer, _J6_SQL),
     "w1_topk_per_group": (_w1_topk, _W1_SQL),
-    "w2_running_sum": (_w2_running, _W2_SQL),
     "w3_sessionize": (_w3_sessionize, _W3_SQL),
     "set_union_except": (_set_ops, _SET_SQL),
     "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
@@ -993,7 +1054,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "text_lang_id": (_text_lang_id, _LANG_ID_SQL),
     "text_fingerprint": (_text_fingerprint, _FINGERPRINT_SQL),
     "mm_media_meta": (_mm_meta, _MM_META_SQL),
-    "mm_frame_sample": (_mm_frames, _MM_FRAMES_SQL),
     # rows-only (no SQL oracle): KG pipeline + approximate operators
     "kg_entities": (_kg_entities, None),
     "kg_canonical_triples": (_kg_canonical_triples, None),
@@ -1004,9 +1064,18 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "kg_pagerank": (_kg_pagerank, None),
     "kg_two_hop_calls": (_kg_two_hop, None),
     "dedup_minhash_lsh": (_dedup_minhash, None),
-    "dedup_simhash": (_dedup_simhash, None),
     "ann_topk_lsh": (_ann_lsh, None),
     "mm_extract_features": (_mm_features, None),
+    # r4 board rotation (r3 VERDICT next-round #1): the 50-slot cap forces
+    # swaps, not appends — w2_running_sum (window machinery pinned by w1/w3),
+    # mm_frame_sample (multimodal scan path pinned by mm_media_meta) and
+    # dedup_simhash (pigeonhole-exactness pinned by
+    # test_simhash_banded_exact_at_hamming3) rotate OFF; the three r3
+    # operators the board never swept rotate ON. The retired builders stay
+    # defined above for tests and callers.
+    "j8_range_join": (_j8_range_join, _J8_SQL),
+    "mean_pool": (_mean_pool, _MEAN_POOL_SQL),
+    "ann_topk_ivf": (_ann_ivf, None),
 }
 
 
