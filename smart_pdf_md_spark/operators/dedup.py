@@ -63,11 +63,25 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+# auto-regime crossover: route to the prefix/PPJoin regime when the p99
+# posting length clears this. Basis (measured, sf0.1 + boilerplate
+# fixtures): thin postings (p99 ≈ 1-2, natural text) run ~3× faster on the
+# direct join — the quadratic work prefix filtering removes is already tiny
+# and its window sort + verify joins dominate; pair work grows ~pn² per
+# posting, so by pn ≈ 8 the ~25× candidate reduction wins.
+AUTO_PREFIX_P99 = 8
+
+# regime the last ngram_jaccard_pairs(regime="auto") call resolved to —
+# observability for tests and operators ("which plan did my corpus get?")
+LAST_AUTO_REGIME: dict[str, str] = {}
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_posting: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle-postings self-join.
+                        max_posting: int = 1000,
+                        regime: str = "postings") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs; output identical in every regime.
 
     Shared-shingle counting gives |A∩B|; set sizes give the union. Postings
     longer than `max_posting` (boilerplate shingles) are dropped — at corpus
@@ -76,32 +90,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     capping only ever shrinks jaccard (loud in the score, never a phantom
     pair).
 
-    Regime note (measured, sf0.1): on thin-postings corpora (natural text,
-    |posting| mostly 1-2) this direct join is ~3× FASTER than prefix
-    filtering — the quadratic pair work it would remove is already tiny,
-    and the filter's extra sort + verify shuffles dominate. On
-    boilerplate-heavy corpora where postings run long, use
-    :func:`ngram_jaccard_pairs_prefix` — identical output, candidate work
-    bounded by the (1−t) prefix."""
+    Regimes (measured, sf0.1):
+    - ``"postings"`` (default): direct capped-postings self-join — ~3×
+      faster on thin-postings corpora (natural text, |posting| mostly 1-2)
+      where the quadratic pair work prefix filtering would remove is
+      already tiny and the filter's extra sort + verify shuffles dominate.
+    - ``"prefix"``: PPJoin prefix-filtered candidates + exact verify
+      (see :func:`ngram_jaccard_pairs_prefix`) — wins on boilerplate-heavy
+      corpora where postings run long.
+    - ``"auto"``: ONE extra tiny agg (p99 posting length, computed on the
+      postings table the cap needs anyway) picks the regime at the
+      measured crossover (:data:`AUTO_PREFIX_P99`); the choice is recorded
+      in :data:`LAST_AUTO_REGIME`."""
+    if regime not in ("postings", "prefix", "auto"):
+        raise ValueError(f"unknown regime: {regime!r}")
     sh = _shingles(df, text_col, id_col, n)
     # force a hash exchange on the join key: with a small/single-partition
     # source, Catalyst otherwise broadcasts both sides and fuses the whole
     # quadratic pair-count into ONE task (CPU-dense work needs row-based,
     # not byte-based, parallelism)
     sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
+    cached = regime != "postings"
+    if cached:
+        # postings stats + sizes + (regime-dependent reuses) all read sh;
+        # released below once the result is materialized
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     postings = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
-    sh = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),
-                 "shingle", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return _score_pairs(inter, sizes, threshold)
+    if regime == "auto":
+        p99 = postings.agg(
+            F.percentile_approx("pn", 0.99).alias("p")).collect()[0][0]
+        regime = "prefix" if (p99 or 0) > AUTO_PREFIX_P99 else "postings"
+        LAST_AUTO_REGIME.clear()
+        LAST_AUTO_REGIME.update({"regime": regime, "p99_posting": str(p99)})
+    shc = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),
+                  "shingle", "left_anti")
+    if regime == "postings":
+        a, b = shc.alias("a"), shc.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        out = _score_pairs(inter, sizes, threshold)
+    else:
+        out = _prefix_verified_pairs(shc, sizes, threshold)
+    if cached:
+        out = out.localCheckpoint(eager=True)  # materialize, then free
+        sh.unpersist()
+    return out
 
 
 def _score_pairs(inter: DataFrame, sizes: DataFrame,
@@ -119,38 +157,17 @@ def _score_pairs(inter: DataFrame, sizes: DataFrame,
     )
 
 
-def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
-                               id_col: str = "doc_id", n: int = 3,
-                               threshold: float = 0.8,
-                               max_posting: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard with PREFIX-FILTERED candidate generation
-    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW
-    2007; Xiao et al. PPJoin) — bit-identical output to
-    :func:`ngram_jaccard_pairs`, built for the boilerplate-heavy regime
-    where postings run long and the all-postings self-join detonates.
+def _prefix_verified_pairs(sh: DataFrame, sizes: DataFrame,
+                           threshold: float) -> DataFrame:
+    """PPJoin core over capped postings `sh`: prefix candidates + exact
+    verify. `sh` is read three times (prefix ranking, verify ×2) — the
+    caller holds it cached.
 
-    Under any global shingle order, two (capped) sets with J ≥ t must share
-    an element inside their first |A′| − ⌈t·|A′|⌉ + 1 shingles — proof: the
-    pair needs |A′∩B′| ≥ t/(1+t)·(|A|+|B|) ≥ ⌈t·max(|A′|,|B′|)⌉ shared
-    shingles, and fewer than that many elements of either set lie OUTSIDE
-    its prefix. So the quadratic self-join runs over ~(1−t) of each set
-    (at t=0.8: 20% of postings → ~25× less pair work) and the surviving
-    candidates are verified with an exact full-intersection count."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    sh = _shingles(df, text_col, id_col, n).repartition(p, "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    postings = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
-    sh = sh.join(F.broadcast(postings.filter(F.col("pn") > max_posting)),
-                 "shingle", "left_anti")
-    # reused by prefix ranking and the candidate verify (×2) — cache the
-    # capped postings once, released before the plan leaves this function
-    sh = sh.persist()
-
-    # prefix = the |A′|−⌈t·|A′|⌉+1 smallest shingle hashes per doc (the
-    # global order is the xxhash64 value itself — uniform, deterministic).
-    # −1e-9 before ceil: 0.8·115 computes as 92.00000000000001 in binary fp
-    # and a spurious ceil→93 would SHORTEN the prefix (the unsafe
-    # direction — longer is always safe, shorter drops pairs).
+    prefix = the |A′|−⌈t·|A′|⌉+1 smallest shingle hashes per doc (the
+    global order is the xxhash64 value itself — uniform, deterministic).
+    −1e-9 before ceil: 0.8·115 computes as 92.00000000000001 in binary fp
+    and a spurious ceil→93 would SHORTEN the prefix (the unsafe
+    direction — longer is always safe, shorter drops pairs)."""
     w = Window.partitionBy("id").orderBy("shingle")
     pre = (sh.withColumn("rk", F.row_number().over(w))
            .join(sh.groupBy("id").agg(F.count("*").alias("szc")), "id")
@@ -170,10 +187,31 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    out = _score_pairs(inter, sizes, threshold)
-    out = out.localCheckpoint(eager=True)  # materialize, then free the cache
-    sh.unpersist()
-    return out
+    return _score_pairs(inter, sizes, threshold)
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.8,
+                               max_posting: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard with PREFIX-FILTERED candidate generation
+    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW
+    2007; Xiao et al. PPJoin) — bit-identical output to
+    :func:`ngram_jaccard_pairs`, built for the boilerplate-heavy regime
+    where postings run long and the all-postings self-join detonates.
+
+    Under any global shingle order, two (capped) sets with J ≥ t must share
+    an element inside their first |A′| − ⌈t·|A′|⌉ + 1 shingles — proof: the
+    pair needs |A′∩B′| ≥ t/(1+t)·(|A|+|B|) ≥ ⌈t·max(|A′|,|B′|)⌉ shared
+    shingles, and fewer than that many elements of either set lie OUTSIDE
+    its prefix. So the quadratic self-join runs over ~(1−t) of each set
+    (at t=0.8: 20% of postings → ~25× less pair work) and the surviving
+    candidates are verified with an exact full-intersection count.
+
+    Equivalent to ``ngram_jaccard_pairs(..., regime="prefix")``; use
+    ``regime="auto"`` to pick the regime from the corpus shape."""
+    return ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
+                               max_posting, regime="prefix")
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",

@@ -609,3 +609,37 @@ def test_ngram_jaccard_short_doc_parity_with_oracle(spark):
     ids_in_pairs = {i for a, b, _ in got for i in (a, b)}
     assert (6, 7) in {(a, b) for a, b, _ in got}
     assert ids_in_pairs <= {6, 7}
+
+
+def test_ngram_jaccard_auto_regime_selection(spark):
+    """regime='auto' must route a boilerplate-heavy corpus (long postings)
+    to the prefix/PPJoin regime and a thin-postings corpus to the direct
+    postings join, from ONE posting-length agg — and the output must be
+    bit-identical to both explicit regimes either way (r3 VERDICT #3)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+
+    boiler = "license header copyright notice all rights reserved do not edit generated file"
+    heavy = [(i, boiler + " " + " ".join(rng.sample(vocab, 4)))
+             for i in range(40)]
+    thin = [(i, " ".join(rng.sample(vocab, 12))) for i in range(40)]
+
+    for rows, expected in ((heavy, "prefix"), (thin, "postings")):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got_auto = sorted(map(tuple, D.ngram_jaccard_pairs(
+            df, threshold=0.5, regime="auto").collect()))
+        assert D.LAST_AUTO_REGIME["regime"] == expected, D.LAST_AUTO_REGIME
+        got_post = sorted(map(tuple, D.ngram_jaccard_pairs(
+            df, threshold=0.5, regime="postings").collect()))
+        got_pref = sorted(map(tuple, D.ngram_jaccard_pairs_prefix(
+            df, threshold=0.5).collect()))
+        assert got_auto == got_post == got_pref
+    # the heavy fixture actually produces pairs (boilerplate J > 0.5)
+    df = spark.createDataFrame(heavy, ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(df, threshold=0.5, regime="auto").count() > 0
+
+    with pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(spark.createDataFrame(thin, ["doc_id", "text"]),
+                              regime="bogus")
