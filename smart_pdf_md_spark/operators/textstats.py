@@ -225,6 +225,47 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                      F.explode(fps).alias("fingerprint"))
 
 
+def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             window: int = 4, threshold: float = 0.5,
+                             max_posting: int = 1000) -> DataFrame:
+    """Containment/overlap detection over winnowing fingerprints — the
+    SIGMOD'03 use case :func:`winnow_fingerprints` emits rows for:
+    containment(A, B) = |FP(A) ∩ FP(B)| / min(|FP(A)|, |FP(B)|), so a short
+    document embedded verbatim in a long one scores ≈ 1.0 even though its
+    Jaccard against the long doc is tiny and the single global-min
+    :func:`fingerprint` of the two differs whenever the long doc's minimum
+    gram falls outside the shared run.
+
+    Same capped-postings discipline as ngram_jaccard_pairs: fingerprints
+    shared by more than `max_posting` docs (boilerplate) are dropped from
+    the self-join — bounded pair fan-out, loud in the score (set sizes stay
+    uncapped, so capping only lowers containment, never fabricates a pair).
+    One hash-exchange self-join at scale; nothing all-pairs."""
+    fps = winnow_fingerprints(df, text_col, id_col, n, window)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    fps = fps.repartition(p, "fingerprint")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("sz"))
+    postings = fps.groupBy("fingerprint").agg(F.count("*").alias("pn"))
+    fps_c = fps.join(
+        F.broadcast(postings.filter(F.col("pn") > max_posting)),
+        "fingerprint", "left_anti")
+    a, b = fps_c.alias("a"), fps_c.alias("b")
+    inter = (a.join(b, "fingerprint")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("shared")))
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("containment",
+                    F.round(F.col("shared") / F.least("sz_a", "sz_b") + 1e-9, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared", "containment")
+    )
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed_col: str = "doc_id") -> DataFrame:
     """Deterministic per-stratum sampling for training-data mixes (e.g.

@@ -643,3 +643,37 @@ def test_ngram_jaccard_auto_regime_selection(spark):
     with pytest.raises(ValueError):
         D.ngram_jaccard_pairs(spark.createDataFrame(thin, ["doc_id", "text"]),
                               regime="bogus")
+
+
+def test_winnow_containment_pairs_detects_subset_docs(spark):
+    """The winnowing CONSUMER (r3 VERDICT #4): a doc embedded verbatim in a
+    larger one must surface as a containment pair at a threshold where the
+    single global-min `fingerprint` provably misses it (the long doc's
+    minimum gram lies outside the shared run, so the two global
+    fingerprints differ), and where n-gram Jaccard is below threshold (the
+    shared run is a small fraction of the union)."""
+    from smart_pdf_md_spark.operators import textstats as TS
+
+    base = [f"w{i}x" for i in range(200)]
+    full = " ".join(base)
+    excerpt = " ".join(base[40:90])  # 50-token contiguous run of `full`
+    other = " ".join(f"z{i}q" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, full), (2, excerpt), (3, other)], ["doc_id", "text"])
+
+    pairs = TS.winnow_containment_pairs(df, threshold=0.8).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].containment >= 0.8
+
+    # the global-min fingerprint misses this containment...
+    fp = {r.doc_id: r.fingerprint for r in TS.fingerprint(df).collect()}
+    assert fp[1] != fp[2]
+    # ...and so does Jaccard at the same threshold (~50/198 shared grams)
+    assert D.ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+    # capped postings: a fingerprint shared by ALL docs is dropped, and
+    # dropping can only lower containment (no phantom pairs)
+    many = [(i, excerpt) for i in range(10)]
+    dfm = spark.createDataFrame(many, ["doc_id", "text"])
+    assert TS.winnow_containment_pairs(dfm, threshold=0.99,
+                                       max_posting=5).count() == 0
