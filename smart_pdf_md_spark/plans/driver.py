@@ -39,15 +39,22 @@ def run_kg(
     forced_route: str | None = None,
 ) -> dict:
     """Full resumable run. Returns stage DataFrames + resume flags.
-    ``on_stage(stage, resumed)`` fires after each stage commit/resume —
-    the S9 run-log hook (see runlog.JsonRunLog.stage_hook).
+    ``on_stage(stage, resumed, metrics=None)`` fires after each stage
+    commit/resume — the S9 run-log hook (see runlog.JsonRunLog.stage_hook).
+    The edges stage carries the linking hot-bucket drop counters
+    (``dropped_buckets``/``dropped_band_rows``) in ``metrics``: a 100 TB
+    operator's drop rate must reach the machine-readable log, not just
+    stderr (r3 VERDICT #7).
     ``forced_route`` is the reference's ``-e/--engine`` (cli.py:105-137):
     force one extractor family; unknown values fail per file with rc 9."""
     resumed: dict[str, bool] = {}
 
-    def _note(stage: str) -> None:
+    def _note(stage: str, metrics: dict | None = None) -> None:
         if on_stage is not None:
-            on_stage(stage, resumed[stage])
+            if metrics:
+                on_stage(stage, resumed[stage], metrics=metrics)
+            else:
+                on_stage(stage, resumed[stage])
 
     extracted, resumed["mentions"] = run_stage(
         spark, run_dir, "mentions",
@@ -93,7 +100,10 @@ def run_kg(
         ["name_a", "name_b"],
         deps=["mentions"],
     )
-    _note("edges")
+    # drop counters are only meaningful when linking actually ran this
+    # run (a resumed stage never re-linked; stale module state would lie)
+    from ..operators.linking import LAST_DROP_METRICS
+    _note("edges", None if resumed["edges"] else dict(LAST_DROP_METRICS))
     entities, resumed["entities"] = run_stage(
         spark, run_dir, "entities",
         lambda: entity_table(mentions, edges, names=_names()),

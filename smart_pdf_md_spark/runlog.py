@@ -54,9 +54,14 @@ class JsonRunLog:
             pass  # logging must never kill the run (core.py:194-199)
 
     def stage_hook(self):
-        """Callback for run_kg(on_stage=...): one line per stage commit."""
-        def on_stage(stage: str, resumed: bool, rows: int | None = None) -> None:
+        """Callback for run_kg(on_stage=...): one line per stage commit.
+        Stage-level operator metrics (e.g. the linking hot-bucket drop
+        counters for the edges stage) land as extra JSON fields, so a
+        log consumer can alert on drop rates without scraping stderr."""
+        def on_stage(stage: str, resumed: bool, rows: int | None = None,
+                     metrics: dict | None = None) -> None:
             self.log(f"stage {stage} {'resumed' if resumed else 'committed'}",
                      stage=stage, resumed=resumed,
-                     **({"rows": rows} if rows is not None else {}))
+                     **({"rows": rows} if rows is not None else {}),
+                     **(metrics or {}))
         return on_stage

@@ -369,3 +369,34 @@ def test_pre_r3_run_dir_resumes_with_backfill(spark, corpus_sdf, run_dir):
     fresh = triples_from_mentions(mentions_only(extracted))
     assert sorted(map(tuple, res["triples"].collect())) == \
         sorted(map(tuple, fresh.collect()))
+
+
+def test_runlog_edges_stage_carries_drop_metrics(spark, corpus_sdf, run_dir,
+                                                 tmp_path):
+    """The linking hot-bucket drop counters must reach the machine-readable
+    run log on the edges stage line (r3 VERDICT #7) — and must NOT appear on
+    a resumed run, where linking never re-ran and the counters would be
+    stale module state."""
+    import json
+
+    from smart_pdf_md_spark.runlog import JsonRunLog
+
+    log_path = str(tmp_path / "run.log.jsonl")
+    rl = JsonRunLog(log_path)
+    run_kg(spark, corpus_sdf, run_dir, on_stage=rl.stage_hook())
+
+    def edges_lines():
+        with open(log_path) as f:
+            return [json.loads(ln) for ln in f
+                    if json.loads(ln).get("stage") == "edges"]
+
+    first = edges_lines()
+    assert len(first) == 1
+    assert first[0]["resumed"] is False
+    assert "dropped_buckets" in first[0] and "dropped_band_rows" in first[0]
+    assert first[0]["dropped_buckets"] >= 0
+
+    run_kg(spark, corpus_sdf, run_dir, on_stage=rl.stage_hook())  # full resume
+    second = edges_lines()[1]
+    assert second["resumed"] is True
+    assert "dropped_buckets" not in second
