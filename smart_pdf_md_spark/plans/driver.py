@@ -37,6 +37,7 @@ def run_kg(
     partitions: int | None = None,
     on_stage=None,
     forced_route: str | None = None,
+    dedup_content: bool = False,
 ) -> dict:
     """Full resumable run. Returns stage DataFrames + resume flags.
     ``on_stage(stage, resumed, metrics=None)`` fires after each stage
@@ -46,7 +47,10 @@ def run_kg(
     operator's drop rate must reach the machine-readable log, not just
     stderr (r3 VERDICT #7).
     ``forced_route`` is the reference's ``-e/--engine`` (cli.py:105-137):
-    force one extractor family; unknown values fail per file with rc 9."""
+    force one extractor family; unknown values fail per file with rc 9.
+    ``dedup_content`` extracts each distinct content once and fans mention
+    rows back out (see build_mentions; row-identical output — measured notes
+    in BENCH/BASELINE.md §dedup-content)."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str, metrics: dict | None = None) -> None:
@@ -60,7 +64,8 @@ def run_kg(
         spark, run_dir, "mentions",
         lambda: build_mentions(spark, repo_files, include, exclude,
                                forced_route=forced_route,
-                               partitions=partitions),
+                               partitions=partitions,
+                               dedup_content=dedup_content),
         MENTION_KEYS,
     )
     _note("mentions")

@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from smart_pdf_md_spark.config import load_config_file, merge_config
 
 
@@ -94,6 +96,7 @@ def test_cli_malformed_env_override_rc2():
     assert "KEY=VALUE" in r.stderr
 
 
+@pytest.mark.slow
 def test_failures_side_sink_gate(tmp_path):
     """A6 tables-count-gate analogue: the failures side sink is written ONLY
     when failures exist (reference core.py:506-521 writes <stem>.tables.md
@@ -153,6 +156,7 @@ def test_runlog_rotation_and_format(tmp_path):
     assert not os.path.exists(str(path) + ".2")
 
 
+@pytest.mark.slow
 def test_cli_log_json_writes_stage_lines(tmp_path):
     """--log-json end-to-end: run start, one line per stage commit, run end
     with the summary payload; resumed rerun logs resumed=True."""
@@ -182,6 +186,7 @@ def test_cli_log_json_writes_stage_lines(tmp_path):
     assert len(resumed) == 5  # second run appended, all stages resumed
 
 
+@pytest.mark.slow
 def test_cli_engine_flag(tmp_path):
     """-e/--engine end-to-end (reference cli.py:105-137): a known family
     forces every routed file through it; an unknown value fails every file

@@ -333,6 +333,7 @@ def test_ivf_recall_vs_bruteforce(spark, clustered_emb):
     assert rec_full == 1.0, f"nprobe=n_lists must be exhaustive: {rec_full}"
 
 
+@pytest.mark.slow
 def test_ivf_probe_bounds_candidates(spark, clustered_emb):
     """The scale property: a query scores ONLY vectors from its nprobe
     lists — candidate count == sum of probed list sizes (minus self)."""
@@ -353,6 +354,7 @@ def test_ivf_probe_bounds_candidates(spark, clustered_emb):
     assert got.count() == expect
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_prefix_filter_is_exact(spark):
     """The prefix-filtered candidate generation must be lossless: pair set
     AND jaccard values identical to an independent brute-force pandas
@@ -446,6 +448,7 @@ def test_stratified_sample_is_deterministic_and_proportional(spark):
         .filter("lang = 'fr'").count() == 0
 
 
+@pytest.mark.slow
 def test_ivf_train_on_sample_and_unnormalized_pool(spark, clustered_emb):
     """sample_mod trains the codebook on the deterministic 1/m id-hash
     sliver (the 100 TB shape) and still yields usable recall; mean_pool
@@ -517,6 +520,7 @@ def test_winnow_fingerprints_match_reference_and_detect_containment(spark):
     assert len(got[4]) < 198 * 0.6
 
 
+@pytest.mark.slow
 def test_training_data_curation_pipeline_end_to_end(spark):
     """The whole curation story as ONE composed lazy plan over the driver
     documents table: PII scrub → quality floor → deterministic stratified

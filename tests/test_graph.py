@@ -42,6 +42,7 @@ def test_two_hop(tiny):
     assert paths == {("a", "b", "c"), ("a", "c", "d"), ("b", "c", "d")}
 
 
+@pytest.mark.slow
 def test_pagerank_sane_and_deterministic(tiny):
     r1 = {r.node: r.rank for r in pagerank(tiny, iterations=8).collect()}
     r2 = {r.node: r.rank for r in pagerank(tiny, iterations=8).collect()}
@@ -53,6 +54,7 @@ def test_pagerank_sane_and_deterministic(tiny):
     assert r1["d"] > r1["a"]
 
 
+@pytest.mark.slow
 def test_kg_pagerank_runs(spark, corpus_sdf):
     from smart_pdf_md_spark.plans.pipeline import build_triples
     t = build_triples(spark, corpus_sdf)["triples"]

@@ -87,6 +87,7 @@ def test_entity_table_merges_golden_groups(plan, edges):
         assert min(present) == min(canon | set(present))
 
 
+@pytest.mark.slow
 def test_canonical_triples(plan, edges, spark):
     ents = entity_table(plan["mentions"], edges)
     canon = canonical_triples(plan["triples"], ents, edges)
@@ -115,6 +116,7 @@ def test_canonical_triples(plan, edges, spark):
     assert canon.filter("obj != obj_raw AND conf < 0.9").count() == 0
 
 
+@pytest.mark.slow
 def test_hot_bucket_drop_is_counted_not_silent(spark):
     """ADVICE r1: capped band buckets must surface a metric. Names built as
     'ab'*k all share the 3-gram set {aba, bab} → identical MinHash signature

@@ -64,6 +64,7 @@ def test_uncommitted_stage_recomputes(spark, corpus_sdf, run_dir):
     assert stage_committed(run_dir, "entities")
 
 
+@pytest.mark.slow
 def test_stale_downstream_recomputes_after_incremental_append(
         spark, corpus_sdf, run_dir):
     """If mentions gets re-committed (incremental append), every downstream
@@ -86,6 +87,7 @@ def test_stale_downstream_recomputes_after_incremental_append(
     assert res2["triples_canonical"].count() > n1
 
 
+@pytest.mark.slow
 def test_torn_append_is_invisible_until_marker(spark, corpus_sdf, run_dir):
     """Kill AFTER the appended parquet lands but BEFORE the snapshot pointer
     swap (ADVICE r1): the orphan batch must be invisible — pending_inputs
@@ -152,6 +154,7 @@ def test_incremental_extraction_anti_join(spark, corpus_sdf, run_dir, monkeypatc
     assert n3 == 0
 
 
+@pytest.mark.slow
 def test_kill9_mid_run_resumes_from_last_commit(tmp_path):
     """North-rule resumability, end-to-end: SIGKILL the driver process the
     moment the 'edges' stage commits, then rerun — the committed stages must
@@ -338,6 +341,7 @@ def test_recycled_pid_lock_is_stolen(spark, run_dir):
     os.remove(path)
 
 
+@pytest.mark.slow
 def test_pre_r3_run_dir_resumes_with_backfill(spark, corpus_sdf, run_dir):
     """A run_dir whose mentions/triples stages were committed BEFORE span +
     mention_id existed must resume, not raise UNRESOLVED_COLUMN (ADVICE r3):

@@ -105,6 +105,7 @@ def _write_event_file(spark, path: str, rows, mtime: int):
     os.utime(newest, (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     """applyInPandasWithState with EventTimeTimeout: sessions close exactly
     once, only when the watermark proves them unextendable; open tails and
@@ -156,6 +157,7 @@ def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stateful_sessions_subset_of_batch(spark, tmp_path):
     """On the real events table delivered in bounded-disorder order
     (time-range files, the Kafka-partition assumption the watermark
@@ -209,6 +211,7 @@ def test_stateful_sessions_subset_of_batch(spark, tmp_path):
     assert len(emitted) > 0
 
 
+@pytest.mark.slow
 def test_stateful_sessions_state_survives_restart(spark, tmp_path):
     """applyInPandasWithState state recovery: drain batch 1 (session tail
     buffered in state), STOP the query, start a NEW query on the same
