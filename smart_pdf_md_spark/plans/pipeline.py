@@ -160,16 +160,23 @@ def build_mentions(
         .select("file_id", "repo", "path", "commit", "lang",
                 "content_sha256", "route", "content")
     )
+    # span survives the fan-out (column offsets depend only on content);
+    # mention_id does NOT — it hashes file_id, which is per-copy — so it is
+    # recomputed after the join with the shared extract-time derivation
+    # (r4 fix: the r3 schema additions never reached this path, so
+    # dedup_content output lacked span/mention_id entirely)
+    from ..operators.extract import mention_id_col
     rep_out = extract_mentions(reps).select(
         "content_sha256", "lang", "sha_match", "route_used", "kind", "name",
-        "qualifier", "line", "enclosing", "status", "rc")
+        "qualifier", "line", "enclosing", "span", "status", "rc")
     # fan back out: every copy of a content gets the representative's rows
     # (sha_match computed on the representative holds for every copy — the
     # join key IS the sha equality)
     return files.join(rep_out, ["content_sha256", "lang"], "inner").select(
         "file_id", "repo", "path", "commit", "lang", "content_sha256",
         "sha_match", "route_used", "kind", "name", "qualifier", "line",
-        "enclosing", "status", "rc")
+        "enclosing", "span", "status", "rc").withColumn(
+        "mention_id", mention_id_col())
 
 
 def build_triples(

@@ -6,14 +6,25 @@ from smart_pdf_md_spark.plans.pipeline import build_mentions
 
 
 def test_dedup_content_path_row_identical(spark, corpus_sdf):
-    cols = ["file_id", "kind", "name", "line", "enclosing", "status", "rc",
-            "route_used", "content_sha256", "sha_match"]
-    direct = build_mentions(spark, corpus_sdf).select(*cols).toPandas() \
-        .sort_values(cols).reset_index(drop=True)
-    deduped = build_mentions(spark, corpus_sdf, dedup_content=True) \
-        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    """FULL-schema comparison (incl. span + mention_id): the r3 column
+    additions silently never reached the dedup_content fan-out path, and
+    the old column-subset compare masked it — never project before
+    comparing two paths that claim identical output."""
     import pandas as pd
-    pd.testing.assert_frame_equal(direct, deduped)
+
+    direct_df = build_mentions(spark, corpus_sdf)
+    deduped_df = build_mentions(spark, corpus_sdf, dedup_content=True)
+    assert sorted(direct_df.columns) == sorted(deduped_df.columns)
+    cols = sorted(direct_df.columns)
+    sort_keys = [c for c in cols if c != "span"]  # lists don't sort
+
+    def canon(df):
+        pdf = df.select(*cols).toPandas()
+        pdf["span"] = pdf["span"].map(
+            lambda v: None if v is None else tuple(v))
+        return pdf.sort_values(sort_keys).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(direct_df), canon(deduped_df))
 
 
 def test_dedup_content_actually_dedups(spark, corpus_sdf):
