@@ -214,6 +214,45 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
                                max_posting, regime="prefix")
 
 
+def dedup_clusters(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Close the dedup loop: near-dup PAIRS (from any pair operator in this
+    module — Jaccard/MinHash/SimHash/cosine) → duplicate CLUSTERS → one
+    deterministic keeper per cluster. Returns one row per INPUT doc:
+    (id, keeper_id, cluster_size, is_keeper); docs in no pair form their own
+    singleton cluster. Filtering to ``is_keeper`` is the "keep one copy"
+    training-data pass.
+
+    Clustering is transitive closure over the pair graph — the same
+    min-label connected components as entity canonicalization
+    (operators/cc.py: distributed fixpoint above the size cap, union-find
+    below), so the keeper is the MINIMUM id of the cluster: content-derived,
+    deterministic at any parallelism. Pair operators emit vocabulary- or
+    near-dup-bounded edge sets, so CC state is pairs-sized, not corpus-sized."""
+    from .cc import connected_components
+
+    edges = pairs.select(F.col("id_a").cast("string").alias("name_a"),
+                         F.col("id_b").cast("string").alias("name_b"))
+    comps = connected_components(edges)
+    ids = docs.select(F.col(id_col).cast("string").alias("name"))
+    id_type = docs.schema[id_col].dataType
+    out = (
+        ids.join(comps, "name", "left")
+        .select("name",
+                F.coalesce(F.col("component"), F.col("name")).alias("_comp"))
+    )
+    # keeper = min ORIGINAL-typed id in the cluster (string-min would order
+    # "10" < "9"); cluster sizes via one groupBy on the component label
+    keeper = (out.groupBy("_comp")
+              .agg(F.min(F.col("name").cast(id_type)).alias("keeper_id"),
+                   F.count("*").alias("cluster_size")))
+    return (out.join(keeper, "_comp")
+            .select(F.col("name").cast(id_type).alias("id"),
+                    "keeper_id", "cluster_size",
+                    (F.col("name").cast(id_type) == F.col("keeper_id"))
+                    .alias("is_keeper")))
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.7) -> DataFrame:

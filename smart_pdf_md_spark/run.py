@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     # default applied after the config merge (None = "not set on CLI", so a
     # config-file value can take effect; CLI wins only when explicitly given)
     ap.add_argument("--link-threshold", type=float, default=None)
+    ap.add_argument("--no-dedup-content", action="store_true",
+                    help="extract every file directly instead of once per "
+                         "distinct content + fan-out (the default wins on "
+                         "any corpus with duplicates; disable only for "
+                         "duplicate-free inputs — BENCH/BASELINE.md)")
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
@@ -134,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         result = run_kg(spark, repo_files, args.run_dir, args.include,
                         args.exclude, args.link_threshold, args.partitions,
                         on_stage=runlog.stage_hook() if runlog else None,
-                        forced_route=args.engine)
+                        forced_route=args.engine,
+                        dedup_content=not args.no_dedup_content)
         from .plans.pipeline import run_summary
         s = run_summary(result["status"]).collect()[0]
         n_triples = result["triples_canonical"].count()

@@ -681,3 +681,47 @@ def test_winnow_containment_pairs_detects_subset_docs(spark):
     dfm = spark.createDataFrame(many, ["doc_id", "text"])
     assert TS.winnow_containment_pairs(dfm, threshold=0.99,
                                        max_posting=5).count() == 0
+
+
+def test_dedup_clusters_transitive_keeper_selection(spark):
+    """pairs → clusters → keeper: transitive chains merge into one cluster
+    (A~B, B~C ⇒ {A,B,C} even though A~C was never emitted), the keeper is
+    the minimum id under the ORIGINAL type (9 < 10 — string-min would
+    invert), unpaired docs are singleton keepers, and filtering is_keeper
+    keeps exactly one doc per cluster."""
+    docs = spark.createDataFrame([(i,) for i in (3, 9, 10, 21, 40)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(9, 21, 0.9), (21, 10, 0.88)],  # chain: 9-21-10 (transitive)
+        ["id_a", "id_b", "jaccard"])
+    rows = {r.id: r for r in D.dedup_clusters(pairs, docs).collect()}
+    assert set(rows) == {3, 9, 10, 21, 40}
+    for i in (9, 10, 21):
+        assert rows[i].keeper_id == 9 and rows[i].cluster_size == 3
+    assert rows[9].is_keeper and not rows[10].is_keeper
+    for i in (3, 40):
+        assert rows[i].keeper_id == i and rows[i].cluster_size == 1 \
+            and rows[i].is_keeper
+    keepers = [i for i, r in rows.items() if r.is_keeper]
+    assert sorted(keepers) == [3, 9, 40]
+
+
+def test_dedup_clusters_end_to_end_with_minhash(spark, corpus_docs):
+    """Full keep-one-copy pass on the vendored-duplicate corpus: exact-dup
+    groups found by sha256 must collapse to single keepers after
+    minhash pairs → clusters, and every keeper survives the filter."""
+    pairs = D.minhash_dedup_pairs(corpus_docs, threshold=0.9)
+    clusters = D.dedup_clusters(pairs, corpus_docs)
+    assert clusters.count() == corpus_docs.count()  # one row per input doc
+    kept = clusters.filter("is_keeper")
+    # every exact-duplicate group (same text) ends up under ONE keeper
+    from pyspark.sql import functions as F
+    joined = (corpus_docs.select("doc_id", F.sha2("text", 256).alias("h"))
+              .join(clusters, F.col("doc_id") == F.col("id")))
+    multi = (joined.groupBy("h")
+             .agg(F.countDistinct("keeper_id").alias("nk"),
+                  F.count("*").alias("n"))
+             .filter("n > 1"))
+    bad = multi.filter("nk > 1").count()
+    assert multi.count() > 0  # vendored dups exist
+    assert bad == 0
+    assert kept.count() < corpus_docs.count()
