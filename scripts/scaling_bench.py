@@ -142,6 +142,15 @@ def main() -> int:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-maintained sections (round notes, data-size scaling,
+    # dedup-content) — only the auto-measured block above the marker is
+    # regenerated; pre-marker versions of the file lose nothing new
+    keep = ""
+    marker = "<!-- hand-maintained sections below; auto block above is rewritten by scripts/scaling_bench.py -->"
+    if os.path.exists(md):
+        prev = open(md).read()
+        if marker in prev:
+            keep = prev.split(marker, 1)[1]
     with open(md, "w") as f:
         f.write(
             "# BENCH/BASELINE — KG pipeline throughput & scaling evidence\n\n"
@@ -184,8 +193,10 @@ def main() -> int:
             "oversubscribed cores of one socket.\n\n"
             "The reference publishes no benchmark numbers (BASELINE.md at "
             "the repo root — absence verified); the targets here are the "
-            "driver contract's throughput + scaling-efficiency gates.\n"
+            "driver contract's throughput + scaling-efficiency gates.\n\n"
         )
+        f.write(marker + "\n")
+        f.write(keep)
     print(f"wrote {md}")
     return 0
 

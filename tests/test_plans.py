@@ -147,3 +147,21 @@ def test_bucketed_self_join_has_no_shuffle(spark, corpus_sdf, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS triples_b")
+
+
+def test_range_join_is_hash_join_never_nested_loop(spark):
+    """The binned range join exists precisely so Spark never plans the
+    interval predicate as BroadcastNestedLoopJoin (O(n·m)); the bin column
+    must make it a hash equi-join. Pinned on the driver-board query."""
+    p = _plan(em.queries()["j8_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p  # Broadcast- or Shuffled- both fine
+
+
+def test_mean_pool_is_single_aggregate_no_explode(spark):
+    """mean_pool must pool dim-wide agg state in ONE groupBy — a
+    posexplode-based formulation would multiply the shuffle by dim (64×)."""
+    p = _plan(em.queries()["mean_pool"](spark, SF))
+    assert "Generate" not in p  # no explode/posexplode anywhere
+    assert p.count("Exchange") <= 2  # the one groupBy (+AQE reads)
