@@ -103,11 +103,7 @@ def main() -> int:
     kg_elapsed, n_triples = None, 0
     for _ in range(2):
         t0 = time.perf_counter()
-        # dedup_content=True is the run_kg production default since r4
-        # (measured winner at 1M and 4M files — BENCH/BASELINE.md
-        # §dedup-content); the bench measures the shipped configuration
-        m0 = mentions_only(build_mentions(spark, corpus, dedup_content=True)) \
-            .select(*need).persist()
+        m0 = mentions_only(build_mentions(spark, corpus)).select(*need).persist()
         m0.count()
         # coalesced cache view: repeat scans pay ~4×cores task overheads,
         # not one per source file (extraction itself stays fine-grained)

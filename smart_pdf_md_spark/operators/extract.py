@@ -157,6 +157,15 @@ def extract_mentions(routed: DataFrame,
             "enclosing", "span", "status", "rc")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-PARTITION extraction memo: identical (content, lang, route)
+        # triples — vendored duplicates that happen to colocate in a scan
+        # split — are parsed once. Zero shuffle, composes with either
+        # dedup_content mode (the global variant pays a full content
+        # shuffle and is opt-in; this is the free fraction of that win).
+        # Keyed by computed sha (collision-safe), capped so a pathological
+        # partition of giant distinct files cannot hold every mention list.
+        memo: dict[tuple, tuple] = {}
+        MEMO_MAX = 50_000
         for pdf in batches:
             # columnar accumulation: at ~8 mentions/file the dict-of-lists →
             # DataFrame path is several times cheaper than 8M row dicts
@@ -167,8 +176,13 @@ def extract_mentions(routed: DataFrame,
             for row in pdf.itertuples(index=False):
                 sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
                 match = sha == row.content_sha256
-                mentions, route_used, status, rc = _extract_one(
-                    row, chunk_lines, mock_fail, fail_if_gt)
+                key = (sha, row.lang, row.route)
+                hit = memo.get(key)
+                if hit is None:
+                    hit = _extract_one(row, chunk_lines, mock_fail, fail_if_gt)
+                    if len(memo) < MEMO_MAX:
+                        memo[key] = hit
+                mentions, route_used, status, rc = hit
                 n = len(mentions) + 1
                 c_fid.extend([row.file_id] * n)
                 c_repo.extend([row.repo] * n)

@@ -37,7 +37,7 @@ def run_kg(
     partitions: int | None = None,
     on_stage=None,
     forced_route: str | None = None,
-    dedup_content: bool = True,
+    dedup_content: bool = False,
 ) -> dict:
     """Full resumable run. Returns stage DataFrames + resume flags.
     ``on_stage(stage, resumed, metrics=None)`` fires after each stage
@@ -48,14 +48,17 @@ def run_kg(
     stderr (r3 VERDICT #7).
     ``forced_route`` is the reference's ``-e/--engine`` (cli.py:105-137):
     force one extractor family; unknown values fail per file with rc 9.
-    ``dedup_content`` (DEFAULT on since r4) extracts each distinct content
-    once and fans mention rows back out (see build_mentions; row-identical
-    output, full-schema-tested). Measured (BENCH/BASELINE.md §dedup-content):
-    at this corpus's mild 1.11× duplication it already wins the interleaved
-    medians at both 1M and 4M files (−7%/−6%); the saving scales with the
-    duplication factor and real repo corpora (vendored deps, forks) run far
-    above 1.11×. Pass False for a corpus known to be duplicate-free — the
-    fan-out join is then pure overhead."""
+    ``dedup_content=True`` extracts each distinct content once and fans
+    mention rows back out (see build_mentions; row-identical output,
+    full-schema-tested). Measured three ways at dup-factor 1.11
+    (BENCH/BASELINE.md §dedup-content): statistically a WASH with the direct
+    path on this VM — and the global-dedup plan shuffles the full content
+    byte-stream (dropDuplicates carries `content`), the one shape the direct
+    plan categorically avoids, so direct stays the default. Opt in when the
+    corpus duplication factor is high (heavy forking/vendoring): the
+    extraction saving is ∝ dup factor while the shuffle cost is flat.
+    Colocated duplicates are deduplicated for free either way by the
+    per-partition extraction memo (operators/extract.py)."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str, metrics: dict | None = None) -> None:

@@ -47,11 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     # default applied after the config merge (None = "not set on CLI", so a
     # config-file value can take effect; CLI wins only when explicitly given)
     ap.add_argument("--link-threshold", type=float, default=None)
-    ap.add_argument("--no-dedup-content", action="store_true",
-                    help="extract every file directly instead of once per "
-                         "distinct content + fan-out (the default wins on "
-                         "any corpus with duplicates; disable only for "
-                         "duplicate-free inputs — BENCH/BASELINE.md)")
+    ap.add_argument("--dedup-content", action="store_true",
+                    help="extract once per distinct content + fan-out "
+                         "instead of per file — worth it on high-duplication "
+                         "corpora; costs a full content shuffle, so the "
+                         "shuffle-free direct path stays the default "
+                         "(measurements: BENCH/BASELINE.md)")
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
@@ -140,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.exclude, args.link_threshold, args.partitions,
                         on_stage=runlog.stage_hook() if runlog else None,
                         forced_route=args.engine,
-                        dedup_content=not args.no_dedup_content)
+                        dedup_content=args.dedup_content)
         from .plans.pipeline import run_summary
         s = run_summary(result["status"]).collect()[0]
         n_triples = result["triples_canonical"].count()

@@ -34,3 +34,15 @@ def test_dedup_content_actually_dedups(spark, corpus_sdf):
     n_files = corpus_sdf.count()
     n_reps = corpus_sdf.select(F.sha2("content", 256), "lang").distinct().count()
     assert n_reps < n_files
+
+
+def test_extraction_memo_is_partitioning_invariant(spark, corpus_sdf):
+    """The per-partition extraction memo must be invisible in the output:
+    coalesce(1) colocates EVERY vendored duplicate (max memo hits) and must
+    produce byte-identical rows to an 8-way split (mostly misses)."""
+    def rows(df):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in build_mentions(spark, df).collect())
+
+    assert rows(corpus_sdf.coalesce(1)) == rows(corpus_sdf.repartition(8))
