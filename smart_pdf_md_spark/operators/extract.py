@@ -75,14 +75,30 @@ class _MockChunkFailure(Exception):
     pass
 
 
+class _FileTimeout(Exception):
+    """Per-file wall-clock budget exceeded (the reference's -t/--timeout,
+    cli.py:331-335 — parsed there but never consulted; given real semantics
+    here)."""
+
+
 def _chunked_regex(content: str, lang: str, chunk_lines: int,
-                   fail_if_gt: int | None) -> list[dict] | None:
-    """R1 slice loop. Returns None when backoff is exhausted (rc 2)."""
+                   fail_if_gt: int | None, deadline: float | None = None,
+                   sleep_per_chunk: float = 0.0) -> list[dict] | None:
+    """R1 slice loop. Returns None when backoff is exhausted (rc 2); raises
+    _FileTimeout past `deadline` — checked at slice boundaries, mirroring
+    the reference's slice-granular execution model (a single regex pass is
+    not preemptible in-process)."""
+    import time as _time
+
     lines = content.split("\n")
     total = len(lines)
     start, cur = 0, chunk_lines
     out: list[dict] = []
     while start < total:
+        if deadline is not None and _time.monotonic() > deadline:
+            raise _FileTimeout()
+        if sleep_per_chunk:
+            _time.sleep(sleep_per_chunk)  # fault injection: slow engine
         end = min(start + cur, total)
         try:
             if fail_if_gt is not None and (end - start) > fail_if_gt:
@@ -101,8 +117,14 @@ def _chunked_regex(content: str, lang: str, chunk_lines: int,
 
 
 def _extract_one(row, chunk_lines: int, mock_fail: bool,
-                 fail_if_gt: int | None) -> tuple[list[dict], str, str, int]:
-    """→ (mentions, route_used, status, rc). Never raises."""
+                 fail_if_gt: int | None, timeout_sec: float | None = None,
+                 sleep_per_chunk: float = 0.0) -> tuple[list[dict], str, str, int]:
+    """→ (mentions, route_used, status, rc). Never raises.
+
+    ``timeout_sec`` is the per-file wall-clock budget (the reference's
+    ``-t/--timeout``): enforced cooperatively at slice boundaries of the
+    chunked regex loop; on expiry the file gets status 'timeout' / rc 9
+    (a per-file conversion failure — the run continues, R3 isolation)."""
     content, route, lang = row.content, row.route, row.lang
     if route == "unknown_engine":
         # forced --engine with an unknown value → rc 9, like the reference's
@@ -112,6 +134,8 @@ def _extract_one(row, chunk_lines: int, mock_fail: bool,
         if not content:
             return [], "skip", "empty", RC_EMPTY
         return [], "skip", "unsupported_lang", RC_UNSUPPORTED
+    import time as _time
+    deadline = (_time.monotonic() + timeout_sec) if timeout_sec else None
     try:
         if mock_fail and POISON_MARKER in content:
             raise RuntimeError("mock poison failure")
@@ -124,7 +148,8 @@ def _extract_one(row, chunk_lines: int, mock_fail: bool,
                 route_used = "regex_fallback"
         if raw is None:  # regex route or AST fallback
             if content.count("\n") + 1 > chunk_lines:
-                raw = _chunked_regex(content, lang, chunk_lines, fail_if_gt)
+                raw = _chunked_regex(content, lang, chunk_lines, fail_if_gt,
+                                     deadline, sleep_per_chunk)
                 if raw is None:
                     return [], route_used, "backoff_exhausted", RC_BACKOFF_EXHAUSTED
             else:
@@ -132,17 +157,21 @@ def _extract_one(row, chunk_lines: int, mock_fail: bool,
                     return [], route_used, "backoff_exhausted", RC_BACKOFF_EXHAUSTED
                 raw = extract_regex_mentions(content, lang)
         return raw, route_used, "ok", RC_OK
+    except _FileTimeout:
+        return [], route, "timeout", RC_ERROR
     except Exception:
         return [], route, "error", RC_ERROR
 
 
 def extract_mentions(routed: DataFrame,
-                     chunk_lines: int = DEFAULT_CHUNK_LINES) -> DataFrame:
+                     chunk_lines: int = DEFAULT_CHUNK_LINES,
+                     timeout_sec: float | None = None) -> DataFrame:
     """routed(file_id.., route, content) → mention rows + per-file status rows.
 
     Output contains one ``kind='__file__'`` row per input file (the status
     channel) plus one row per mention. Use :func:`mentions_only` /
-    :func:`file_status` to split.
+    :func:`file_status` to split. ``timeout_sec`` = per-file wall-clock
+    budget (reference ``-t/--timeout``; see :func:`_extract_one`).
     """
 
     # Mock knobs are read on the DRIVER at plan-build time and captured in
@@ -151,6 +180,7 @@ def extract_mentions(routed: DataFrame,
     mock_fail = os.environ.get("KG_MOCK_FAIL", "") == "1"
     gt = os.environ.get("KG_MOCK_FAIL_IF_CHUNK_GT", "")
     fail_if_gt = int(gt) if gt else None
+    sleep_per_chunk = float(os.environ.get("KG_MOCK_SLEEP_PER_CHUNK", "0") or 0)
 
     cols = ("file_id", "repo", "path", "commit", "lang", "content_sha256",
             "sha_match", "route_used", "kind", "name", "qualifier", "line",
@@ -179,7 +209,8 @@ def extract_mentions(routed: DataFrame,
                 key = (sha, row.lang, row.route)
                 hit = memo.get(key)
                 if hit is None:
-                    hit = _extract_one(row, chunk_lines, mock_fail, fail_if_gt)
+                    hit = _extract_one(row, chunk_lines, mock_fail, fail_if_gt,
+                                       timeout_sec, sleep_per_chunk)
                     if len(memo) < MEMO_MAX:
                         memo[key] = hit
                 mentions, route_used, status, rc = hit

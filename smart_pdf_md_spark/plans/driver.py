@@ -38,6 +38,7 @@ def run_kg(
     on_stage=None,
     forced_route: str | None = None,
     dedup_content: bool = False,
+    timeout_sec: float | None = None,
 ) -> dict:
     """Full resumable run. Returns stage DataFrames + resume flags.
     ``on_stage(stage, resumed, metrics=None)`` fires after each stage
@@ -73,7 +74,8 @@ def run_kg(
         lambda: build_mentions(spark, repo_files, include, exclude,
                                forced_route=forced_route,
                                partitions=partitions,
-                               dedup_content=dedup_content),
+                               dedup_content=dedup_content,
+                               timeout_sec=timeout_sec),
         MENTION_KEYS,
     )
     _note("mentions")

@@ -109,6 +109,7 @@ def build_mentions(
     partitions: int | None = None,
     repartition: bool = False,
     dedup_content: bool = False,
+    timeout_sec: float | None = None,
 ) -> DataFrame:
     """repo_files → extracted (mentions + status rows, union'd).
 
@@ -146,7 +147,7 @@ def build_mentions(
     df = df.select("file_id", "repo", "path", "commit", "lang",
                    "content_sha256", "route", "content")
     if not dedup_content:
-        return extract_mentions(df)
+        return extract_mentions(df, timeout_sec=timeout_sec)
 
     files = df.select("file_id", "repo", "path", "commit", "lang",
                       "content_sha256", "route")
@@ -166,7 +167,7 @@ def build_mentions(
     # (r4 fix: the r3 schema additions never reached this path, so
     # dedup_content output lacked span/mention_id entirely)
     from ..operators.extract import mention_id_col
-    rep_out = extract_mentions(reps).select(
+    rep_out = extract_mentions(reps, timeout_sec=timeout_sec).select(
         "content_sha256", "lang", "sha_match", "route_used", "kind", "name",
         "qualifier", "line", "enclosing", "span", "status", "rc")
     # fan back out: every copy of a content gets the representative's rows

@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     # default applied after the config merge (None = "not set on CLI", so a
     # config-file value can take effect; CLI wins only when explicitly given)
     ap.add_argument("--link-threshold", type=float, default=None)
+    ap.add_argument("-t", "--timeout", type=float, default=None,
+                    metavar="SEC",
+                    help="per-file wall-clock extraction budget; expired "
+                         "files get status 'timeout' (rc 9) and the run "
+                         "continues. The reference parses -t/--timeout but "
+                         "never consults it (cli.py:331-335); here it is "
+                         "enforced at slice boundaries")
     ap.add_argument("--dedup-content", action="store_true",
                     help="extract once per distinct content + fan-out "
                          "instead of per file — worth it on high-duplication "
@@ -141,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
                         args.exclude, args.link_threshold, args.partitions,
                         on_stage=runlog.stage_hook() if runlog else None,
                         forced_route=args.engine,
-                        dedup_content=args.dedup_content)
+                        dedup_content=args.dedup_content,
+                        timeout_sec=args.timeout)
         from .plans.pipeline import run_summary
         s = run_summary(result["status"]).collect()[0]
         n_triples = result["triples_canonical"].count()

@@ -218,3 +218,29 @@ def test_sql_facade_over_kg_views(spark, corpus_sdf):
         .collect()[0].n
     b = plan["mentions"].filter("kind = 'def'").count()
     assert a == b > 0
+
+
+def test_file_timeout_is_isolated_per_file(spark, corpus_sdf, monkeypatch):
+    """Real semantics for the reference's dormant -t/--timeout
+    (cli.py:331-335 parses it, nothing consults it): with a per-file
+    wall-clock budget and an injected slow engine, the multi-chunk giants
+    expire with status 'timeout' / rc 9 at a slice boundary while every
+    other file extracts normally (R3: one bad file never kills the run).
+    Without a budget, the same slow engine just runs slower — no timeouts."""
+    from smart_pdf_md_spark.plans.pipeline import build_mentions
+    from smart_pdf_md_spark.operators.extract import file_status
+
+    monkeypatch.setenv("KG_MOCK_SLEEP_PER_CHUNK", "0.4")
+    sub = corpus_sdf.filter("path like 'big/%' or path like 'src/%'")
+    st = file_status(build_mentions(spark, sub, timeout_sec=0.2)) \
+        .toPandas().set_index("path")
+    giants = st[st.index.str.startswith("big/")]
+    assert (giants["status"] == "timeout").all() and (giants["rc"] == 9).all()
+    rest = st[~st.index.str.startswith("big/")]
+    assert (~rest["status"].isin(["timeout"])).all()
+    assert rest["rc"].isin([0, 1, 4]).all()
+
+    # no budget → the slow engine completes; nothing times out
+    st2 = file_status(build_mentions(
+        spark, corpus_sdf.filter("path = 'big/giant2.js'"))).toPandas()
+    assert (st2["status"] == "ok").all()
