@@ -98,3 +98,41 @@ def pagerank(triples: DataFrame, iterations: int = 10,
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def triangle_count(triples: DataFrame, pred: str | None = None) -> DataFrame:
+    """Triangles in the UNDIRECTED view of the edge set → one row
+    (n_triangles bigint). Optionally restricted to one predicate (e.g.
+    CALLS — symbol-level triangles are mutual-recursion/clique signals).
+
+    Scale shape — the standard degree-ordered formulation (Suri/Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011): orient
+    every undirected edge from its lower-(degree, node) endpoint to the
+    higher one. Each triangle then has exactly ONE wedge whose center is its
+    minimum-order vertex, so it is counted exactly once, and the wedge join's
+    fan-out per node is bounded by its ORIENTED out-degree ≤ O(√m) — a hub
+    with a million neighbors contributes √-bounded work instead of 10¹²
+    wedge pairs. Three shuffles total (degree agg, wedge join, closing join);
+    no iteration, no driver loop."""
+    e = triples.filter(F.col("pred") == pred) if pred else triples
+    und = (e.select(F.least("subj", "obj").alias("u"),
+                    F.greatest("subj", "obj").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient by (degree, node) — a total order, so exactly one direction
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = (und.join(du, "u").join(dv, "v")
+         .select(F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+                 F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst")))
+    a, b, c = o.alias("a"), o.alias("b"), o.alias("c")
+    wedges = (a.join(b, F.col("a.dst") == F.col("b.src"))
+              .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"),
+                      F.col("b.dst").alias("z")))
+    closed = wedges.join(
+        c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")))
+    return closed.agg(F.count("*").alias("n_triangles"))

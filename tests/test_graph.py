@@ -98,3 +98,37 @@ def test_salted_count_equals_plain_on_skewed_corpus(spark, corpus_sdf):
             corpus_sdf.groupBy("repo").count().collect()}
     assert got == want
     assert max(want.values()) > sum(want.values()) * 0.25  # skew is real
+
+
+def test_triangle_count_exact_vs_bruteforce(spark):
+    """Degree-ordered triangle counting == brute-force enumeration on a
+    random graph (each triangle counted exactly once regardless of edge
+    direction, duplicates, self-loops, or a planted hub), plus known
+    closed forms: K4 has 4 triangles, a 4-cycle has 0."""
+    import itertools
+    import random
+
+    from smart_pdf_md_spark.operators.graph import triangle_count
+
+    def tri(edge_list):
+        rows = [(a, "E", b) for a, b in edge_list]
+        df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        return triangle_count(df).collect()[0].n_triangles
+
+    k4 = list(itertools.combinations("abcd", 2))
+    assert tri(k4) == 4
+    assert tri([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == 0
+    # direction + duplicate edges + self-loops must not change the count
+    assert tri(k4 + [(b, a) for a, b in k4] + [("a", "a")]) == 4
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    edges |= {("hub", n) for n in nodes}  # planted hub (skew)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+                if y in adj[x] and z in adj[x] and z in adj[y])
+    assert tri(list(edges)) == brute > 0
