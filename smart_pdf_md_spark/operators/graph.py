@@ -136,3 +136,47 @@ def triangle_count(triples: DataFrame, pred: str | None = None) -> DataFrame:
     closed = wedges.join(
         c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")))
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def shortest_paths(triples: DataFrame, landmarks: list[str],
+                   max_iter: int = 20, undirected: bool = False) -> DataFrame:
+    """Hop distance from every reachable node TO each landmark following
+    edge direction (GraphFrames' shortestPaths analogue) → (node, landmark,
+    distance). Unreachable (node, landmark) pairs emit no row.
+
+    FRONTIER-based BFS, not full relaxation: each round joins only the
+    newly-discovered frontier against the edge set, anti-joins out nodes
+    already labeled, and checkpoints — so per-round shuffle volume is
+    frontier-sized, state grows monotonically, and the loop ends when the
+    frontier empties (≤ diameter rounds, the CC discipline of
+    operators/cc.py). Landmark count is the small multiplier: state is
+    O(nodes × |landmarks|)."""
+    edges = triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst")).distinct()
+    if undirected:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))).distinct()
+    spark = triples.sparkSession
+    p = max(spark.sparkContext.defaultParallelism // 4, 1)
+    edges = edges.coalesce(p).localCheckpoint(eager=True)
+
+    state = spark.createDataFrame(
+        [(lm, lm, 0) for lm in landmarks],
+        "node string, landmark string, distance int")
+    frontier = state
+    for _ in range(max_iter):
+        # predecessors of the frontier are one hop farther from the landmark
+        cand = (edges.join(frontier.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "landmark",
+                        (F.col("distance") + 1).alias("distance"))
+                .groupBy("node", "landmark")
+                .agg(F.min("distance").alias("distance")))
+        new = cand.join(state.select("node", "landmark"),
+                        ["node", "landmark"], "left_anti")
+        new = new.coalesce(p).localCheckpoint(eager=True)
+        if new.count() == 0:
+            return state
+        state = state.unionByName(new).coalesce(p).localCheckpoint(eager=True)
+        frontier = new
+    return state  # max_iter cap: distances beyond it are absent, not wrong

@@ -225,6 +225,39 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                      F.explode(fps).alias("fingerprint"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Within-document repetition signals — the Gopher/RefinedWeb-style
+    quality heuristics (Rae et al. 2021 §A1.1; Penedo et al. 2023): the
+    fraction of duplicate LINES and of duplicate token n-grams inside one
+    document. Boilerplate, log spam, and template pages score high and are
+    filtered before training.
+
+    dup_line_ratio  = 1 − |distinct non-empty lines| / |non-empty lines|
+    dup_ngram_ratio = 1 − |distinct n-grams| / |n-grams|   (0 if < n tokens)
+
+    Pure Column exprs (split/filter/array_distinct/size): scan-side,
+    codegen'd, no shuffle — rides the same stage as quality_score."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"))
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    n_grams = F.size(grams)
+    dup_gram = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"))
+    return df.select(
+        "doc_id",
+        F.round(dup_line + 1e-9, 4).alias("dup_line_ratio"),
+        F.round(dup_gram + 1e-9, 4).alias("dup_ngram_ratio"),
+    )
+
+
 def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", n: int = 3,
                              window: int = 4, threshold: float = 0.5,

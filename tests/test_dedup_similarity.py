@@ -725,3 +725,57 @@ def test_dedup_clusters_end_to_end_with_minhash(spark, corpus_docs):
     assert multi.count() > 0  # vendored dups exist
     assert bad == 0
     assert kept.count() < corpus_docs.count()
+
+
+def test_repetition_stats_known_values(spark):
+    """dup-line / dup-ngram ratios against hand-computed values, and
+    DuckDB-oracle parity on the same rows (the operator is deliberately
+    ANSI-expressible like the rest of textstats)."""
+    import duckdb
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.textstats import repetition_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c\na b c\nx y z\n\n",        # 3 non-empty lines, 2 distinct
+            "spam spam spam spam spam spam",  # 4 3-grams, 1 distinct
+            "all distinct tokens here now",
+            "",
+        ],
+    })
+    got = {r.doc_id: r for r in
+           repetition_stats(spark.createDataFrame(pdf)).collect()}
+    assert got[1].dup_line_ratio == round(1 - 2 / 3 + 1e-9, 4)
+    assert got[2].dup_ngram_ratio == round(1 - 1 / 4 + 1e-9, 4)
+    assert got[3].dup_line_ratio == 0.0 and got[3].dup_ngram_ratio == 0.0
+    assert got[4].dup_line_ratio == 0.0 and got[4].dup_ngram_ratio == 0.0
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute("""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         ln -> length(trim(ln)) > 0) AS lines,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS grams
+      FROM base
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) END + 1e-9, 4) AS dup_line_ratio,
+           round(CASE WHEN len(grams) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END + 1e-9, 4) AS dup_ngram_ratio
+    FROM g
+    """).df().set_index("doc_id")
+    for did, r in got.items():
+        assert want.loc[did, "dup_line_ratio"] == r.dup_line_ratio, did
+        assert want.loc[did, "dup_ngram_ratio"] == r.dup_ngram_ratio, did

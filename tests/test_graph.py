@@ -132,3 +132,49 @@ def test_triangle_count_exact_vs_bruteforce(spark):
     brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
                 if y in adj[x] and z in adj[x] and z in adj[y])
     assert tri(list(edges)) == brute > 0
+
+
+def test_shortest_paths_vs_python_bfs(spark):
+    """Frontier BFS == reference Python BFS on a random directed graph for
+    multiple landmarks; chain closed form; undirected mode symmetric;
+    unreachable pairs absent."""
+    import random
+    from collections import deque
+
+    from smart_pdf_md_spark.operators.graph import shortest_paths
+
+    rng = random.Random(17)
+    nodes = [f"n{i}" for i in range(25)]
+    edge_list = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)}
+    edge_list |= {("a", "b"), ("b", "c"), ("c", "d")}  # known chain
+    df = spark.createDataFrame(
+        [(s, "E", d) for s, d in edge_list], ["subj", "pred", "obj"])
+
+    def py_bfs(targets, undirected):
+        # distance FROM node TO target following edge direction == BFS on
+        # reversed edges from the target
+        rev = {}
+        for s, d in edge_list:
+            rev.setdefault(d, set()).add(s)
+            if undirected:
+                rev.setdefault(s, set()).add(d)
+        out = {}
+        for t in targets:
+            dist = {t: 0}
+            q = deque([t])
+            while q:
+                x = q.popleft()
+                for pred in rev.get(x, ()):
+                    if pred not in dist:
+                        dist[pred] = dist[x] + 1
+                        q.append(pred)
+            for n_, d_ in dist.items():
+                out[(n_, t)] = d_
+        return out
+
+    for und in (False, True):
+        got = {(r.node, r.landmark): r.distance
+               for r in shortest_paths(df, ["d", "n0"],
+                                       undirected=und).collect()}
+        assert got == py_bfs(["d", "n0"], und), f"undirected={und}"
+    assert got[("a", "d")] == 3 or ("a", "d") not in got  # chain (unless shortcut)
