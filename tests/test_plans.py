@@ -165,3 +165,14 @@ def test_mean_pool_is_single_aggregate_no_explode(spark):
     p = _plan(em.queries()["mean_pool"](spark, SF))
     assert "Generate" not in p  # no explode/posexplode anywhere
     assert p.count("Exchange") <= 2  # the one groupBy (+AQE reads)
+
+
+def test_ngram_jaccard_plan_parallel_and_capped(spark):
+    """The two load-bearing physical properties of the Jaccard postings
+    join: (1) the forced hash Exchange on `shingle` — without it Catalyst
+    broadcasts both tiny sides and fuses the quadratic pair-count into ONE
+    task; (2) the hot-posting cap as a broadcast LeftAnti join — the skew
+    guard that keeps a boilerplate shingle from detonating the self-join."""
+    p = _plan(em.queries()["dedup_ngram_jaccard"](spark, SF))
+    assert "hashpartitioning(shingle" in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
