@@ -1,0 +1,133 @@
+"""Staged training-data curation pipeline — the LLM-data counterpart of
+plans/driver.run_kg, composed entirely from the operators this repo already
+ships and committed through the same manifest/resume protocol:
+
+    documents
+      → scrub        (PII redaction — textstats.scrub_text)
+      → score+filter (quality, repetition ratios, token counts; thresholds)
+      → sample       (optional deterministic per-stratum mix)
+      → dedup        (MinHash-LSH pairs → transitive clusters → one keeper)
+      → chunk        (overlapping token windows — the unit a trainer feeds)
+
+Every stage is a lazy DataFrame plan committed via plans/manifests.py, so a
+killed curation run resumes from the last committed stage exactly like the
+KG pipeline, and the per-stage manifests give row-count + digest accounting
+for free. All scoring/filtering is scan-side Column exprs; the only
+shuffles are the dedup pair generation (banded) and the cluster CC — both
+bounded, never all-pairs (operators/dedup.py docstrings).
+
+Exact row accounting per stage is returned in `summary` — at 100 TB a
+curation run that cannot say "filtered dropped 12.3%, dedup dropped 4.1%"
+is unauditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+from ..operators.textstats import (
+    chunk_documents,
+    quality_score,
+    repetition_stats,
+    scrub_text,
+    stratified_sample,
+    token_count,
+)
+from .manifests import run_stage
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    run_dir: str,
+    quality_min: float = 0.3,
+    dup_line_max: float = 0.5,
+    dedup_threshold: float = 0.9,
+    fractions: dict | None = None,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    on_stage=None,
+) -> dict:
+    """docs(doc_id, text, lang, ...) → curated chunks, staged + resumable.
+
+    Returns the stage DataFrames (all committed snapshots), `resumed` flags,
+    and a `summary` row with exact per-stage document counts. ``fractions``
+    enables the stratified sampling stage ({lang: keep_fraction}); omitted
+    strata drop (see stratified_sample — decisions are id-hash-derived, so a
+    resumed run keeps the identical sample)."""
+    resumed: dict[str, bool] = {}
+
+    def _note(stage: str) -> None:
+        if on_stage is not None:
+            on_stage(stage, resumed[stage])
+
+    base = docs.select("doc_id", "text", "lang")
+
+    def build_scrubbed() -> DataFrame:
+        s = scrub_text(base)
+        return base.drop("text").join(
+            s.select("doc_id", F.col("text_scrubbed").alias("text"),
+                     "was_redacted"), "doc_id")
+
+    scrubbed, resumed["scrubbed"] = run_stage(
+        spark, run_dir, "scrubbed", build_scrubbed, ["doc_id"])
+    _note("scrubbed")
+
+    def build_filtered() -> DataFrame:
+        q = quality_score(scrubbed)
+        r = repetition_stats(scrubbed)
+        t = token_count(scrubbed)
+        scored = (scrubbed
+                  .join(q.select("doc_id", "quality"), "doc_id")
+                  .join(r, "doc_id")
+                  .join(t.select("doc_id", "n_tokens"), "doc_id"))
+        kept = scored.filter((F.col("quality") >= quality_min) &
+                             (F.col("dup_line_ratio") <= dup_line_max))
+        if fractions:
+            kept = stratified_sample(kept, "lang", fractions)
+        return kept
+
+    filtered, resumed["filtered"] = run_stage(
+        spark, run_dir, "filtered", build_filtered, ["doc_id"],
+        deps=["scrubbed"])
+    _note("filtered")
+
+    def build_kept() -> DataFrame:
+        pairs = minhash_dedup_pairs(filtered, threshold=dedup_threshold)
+        clusters = dedup_clusters(pairs, filtered)
+        return (filtered.join(
+            clusters.select(F.col("id").alias("doc_id"), "keeper_id",
+                            "cluster_size", "is_keeper"), "doc_id")
+            .filter("is_keeper")
+            .drop("is_keeper"))
+
+    kept, resumed["kept"] = run_stage(
+        spark, run_dir, "kept", build_kept, ["doc_id"], deps=["filtered"])
+    _note("kept")
+
+    def build_chunks() -> DataFrame:
+        return chunk_documents(kept, chunk_tokens=chunk_tokens,
+                               overlap=overlap)
+
+    chunks, resumed["chunks"] = run_stage(
+        spark, run_dir, "chunks", build_chunks, ["doc_id", "chunk_idx"],
+        deps=["kept"])
+    _note("chunks")
+
+    # one agg per committed stage — exact, cheap (reads the snapshots)
+    summary = {
+        "docs_in": docs.count(),
+        "after_filter": filtered.count(),
+        "after_dedup": kept.count(),
+        "chunks": chunks.count(),
+    }
+    return {
+        "scrubbed": scrubbed,
+        "filtered": filtered,
+        "kept": kept,
+        "chunks": chunks,
+        "resumed": resumed,
+        "summary": summary,
+    }

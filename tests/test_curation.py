@@ -1,0 +1,69 @@
+"""Staged curation pipeline: accounting, resume, and sample stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_pdf_md_spark.plans.curation import run_curation
+
+
+@pytest.fixture()
+def curation_docs(spark):
+    import random
+    rng = random.Random(23)
+    vocab = [f"word{j}" for j in range(800)]
+    rows = []
+    for i in range(40):
+        # distinct token sets + enough stopwords/length to clear quality
+        body = " ".join(rng.sample(vocab, 60))
+        rows.append((i, f"the story of it is on a hill and {body} "
+                        "for the day it was a good one in the end", "en"))
+    for i in range(40, 44):
+        rows.append((i, rows[0][1], "en"))         # exact dups of doc 0
+    rows.append((44, "?!:; ?!:;", "en"))           # pure punct → filtered
+    rows.append((45, "spam\nspam\nspam\nspam", "en"))  # repetitious → filtered
+    rows.append((46, "der schnelle braune fuchs " * 30, "de"))
+    rows.append((47, "contact me me@example.com now " * 20, "en"))  # PII
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
+    res = run_curation(spark, curation_docs, str(tmp_path / "cur"),
+                       quality_min=0.3, dup_line_max=0.5,
+                       dedup_threshold=0.9)
+    s = res["summary"]
+    assert s["docs_in"] == 48
+    # low-quality + repetitious dropped; everything else survives the filter
+    assert s["after_filter"] == 46
+    # the 4 planted exact dups collapse into doc 0's cluster
+    assert s["after_dedup"] == 42
+    kept_ids = {r.doc_id for r in res["kept"].select("doc_id").collect()}
+    assert 0 in kept_ids and not ({40, 41, 42, 43} & kept_ids)
+    assert {44, 45}.isdisjoint(kept_ids)
+    # scrubbing happened before scoring: no raw email survives anywhere
+    assert res["kept"].filter(F.col("text").contains("me@example.com")) \
+        .count() == 0
+    assert res["kept"].filter(F.col("text").contains("<EMAIL>")).count() > 0
+    # chunks cover every kept doc, chunk accounting exact
+    assert res["chunks"].select("doc_id").distinct().count() == s["after_dedup"]
+    assert s["chunks"] == res["chunks"].count()
+
+
+def test_curation_resumes_all_stages(spark, curation_docs, tmp_path):
+    run_dir = str(tmp_path / "cur")
+    first = run_curation(spark, curation_docs, run_dir)
+    assert not any(first["resumed"].values())
+    second = run_curation(spark, curation_docs, run_dir)
+    assert all(second["resumed"].values())
+    assert first["summary"] == second["summary"]
+
+
+def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
+                                                  tmp_path):
+    kw = dict(fractions={"en": 1.0})  # drop non-en strata entirely
+    a = run_curation(spark, curation_docs, str(tmp_path / "a"), **kw)
+    b = run_curation(spark, curation_docs, str(tmp_path / "b"), **kw)
+    assert a["kept"].filter("lang = 'de'").count() == 0
+    ids = lambda r: sorted(x.doc_id for x in r["kept"].collect())  # noqa: E731
+    assert ids(a) == ids(b)
