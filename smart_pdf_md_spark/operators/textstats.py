@@ -30,25 +30,31 @@ def tokens_col(text: Column) -> Column:
 BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """The token/char accounting expressions, exposed for composition: a
+    pipeline that needs several score families computes them in ONE select
+    over the scan instead of joining per-family projections (each join is a
+    full-document-stream shuffle at scale — plans/curation.py)."""
+    toks = tokens_col(text)
+    return {
+        "n_tokens": F.size(toks),
+        "n_bpe_tokens": F.regexp_count(text, F.lit(BPE_TOKEN_RX)),
+        "n_chars_actual": F.length(text),
+        "n_chars_nows": F.length(F.regexp_replace(text, r"\s", "")),
+    }
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token + character accounting per document: whitespace tokens AND a
     BPE-ish regex token count (the pre-tokenizer proxy an LLM-data pipeline
     budgets with — whitespace alone undercounts code/punctuation-dense
     text)."""
-    toks = tokens_col(F.col(text_col))
-    return df.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RX)).alias("n_bpe_tokens"),
-        F.length(F.col(text_col)).alias("n_chars_actual"),
-        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("n_chars_nows"),
-    )
+    cols = token_count_cols(F.col(text_col))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality heuristic: length saturation + non-punct ratio
-    + stopword ratio (each in [0,1], weighted 0.4/0.3/0.3, rounded)."""
-    text = F.col(text_col)
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality-heuristic expressions (see token_count_cols rationale)."""
     toks = tokens_col(text)
     n_tok = F.size(toks)
     stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
@@ -60,12 +66,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(punct / n.cast("double"))
     len_sat = F.least(n / F.lit(500.0), F.lit(1.0))
     score = 0.4 * len_sat + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio
-    return df.select(
-        "doc_id",
-        F.round(stop_ratio + 1e-9, 4).alias("stop_ratio"),
-        F.round(punct_ratio + 1e-9, 4).alias("punct_ratio"),
-        F.round(score + 1e-9, 4).alias("quality"),
-    )
+    return {
+        "stop_ratio": F.round(stop_ratio + 1e-9, 4),
+        "punct_ratio": F.round(punct_ratio + 1e-9, 4),
+        "quality": F.round(score + 1e-9, 4),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: length saturation + non-punct ratio
+    + stopword ratio (each in [0,1], weighted 0.4/0.3/0.3, rounded)."""
+    cols = quality_cols(F.col(text_col))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
@@ -225,6 +237,27 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                      F.explode(fps).alias("fingerprint"))
 
 
+def repetition_cols(text: Column, n: int = 3) -> dict[str, Column]:
+    """Repetition-ratio expressions (see token_count_cols rationale)."""
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"))
+    toks = tokens_col(text)
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    n_grams = F.size(grams)
+    dup_gram = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"))
+    return {
+        "dup_line_ratio": F.round(dup_line + 1e-9, 4),
+        "dup_ngram_ratio": F.round(dup_gram + 1e-9, 4),
+    }
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      n: int = 3) -> DataFrame:
     """Within-document repetition signals — the Gopher/RefinedWeb-style
@@ -238,24 +271,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
     Pure Column exprs (split/filter/array_distinct/size): scan-side,
     codegen'd, no shuffle — rides the same stage as quality_score."""
-    lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda ln: F.length(F.trim(ln)) > 0)
-    n_lines = F.size(lines)
-    dup_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"))
-    toks = tokens_col(F.col(text_col))
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
-        .otherwise(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    n_grams = F.size(grams)
-    dup_gram = F.when(n_grams == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"))
-    return df.select(
-        "doc_id",
-        F.round(dup_line + 1e-9, 4).alias("dup_line_ratio"),
-        F.round(dup_gram + 1e-9, 4).alias("dup_ngram_ratio"),
-    )
+    cols = repetition_cols(F.col(text_col), n)
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
 def winnow_containment_pairs(df: DataFrame, text_col: str = "text",

@@ -29,11 +29,11 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
 from ..operators.textstats import (
     chunk_documents,
-    quality_score,
-    repetition_stats,
+    quality_cols,
+    repetition_cols,
     scrub_text,
     stratified_sample,
-    token_count,
+    token_count_cols,
 )
 from .manifests import run_stage
 
@@ -76,13 +76,18 @@ def run_curation(
     _note("scrubbed")
 
     def build_filtered() -> DataFrame:
-        q = quality_score(scrubbed)
-        r = repetition_stats(scrubbed)
-        t = token_count(scrubbed)
-        scored = (scrubbed
-                  .join(q.select("doc_id", "quality"), "doc_id")
-                  .join(r, "doc_id")
-                  .join(t.select("doc_id", "n_tokens"), "doc_id"))
+        # all three score families are scan-side Column exprs over the SAME
+        # rows → ONE select, zero shuffle (joining the per-family
+        # projections instead would shuffle the full document stream once
+        # per family; plan-asserted in test_curation.py)
+        text = F.col("text")
+        score_exprs = {
+            "quality": quality_cols(text)["quality"],
+            **repetition_cols(text),
+            "n_tokens": token_count_cols(text)["n_tokens"],
+        }
+        scored = scrubbed.select(
+            "*", *[v.alias(k) for k, v in score_exprs.items()])
         kept = scored.filter((F.col("quality") >= quality_min) &
                              (F.col("dup_line_ratio") <= dup_line_max))
         if fractions:

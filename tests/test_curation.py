@@ -67,3 +67,29 @@ def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
     assert a["kept"].filter("lang = 'de'").count() == 0
     ids = lambda r: sorted(x.doc_id for x in r["kept"].collect())  # noqa: E731
     assert ids(a) == ids(b)
+
+
+def test_curation_scoring_stage_is_shuffle_free(spark, curation_docs,
+                                                tmp_path):
+    """The score/filter stage computes quality + repetition + token counts
+    in ONE scan-side select — no Exchange before the committed write (a
+    per-family join formulation would shuffle the document stream three
+    times)."""
+    import io
+    from contextlib import redirect_stdout
+
+    res = run_curation(spark, curation_docs, str(tmp_path / "cur"))
+    # rebuild the filtered plan lazily from the committed scrubbed stage
+    from smart_pdf_md_spark.operators.textstats import (
+        quality_cols, repetition_cols, token_count_cols)
+    scrubbed = res["scrubbed"]
+    text = F.col("text")
+    plan_df = scrubbed.select(
+        "*", quality_cols(text)["quality"].alias("quality"),
+        *[v.alias(k) for k, v in repetition_cols(text).items()],
+        token_count_cols(text)["n_tokens"].alias("n_tokens"),
+    ).filter("quality >= 0.3 and dup_line_ratio <= 0.5")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
