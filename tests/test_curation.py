@@ -93,3 +93,56 @@ def test_curation_scoring_stage_is_shuffle_free(spark, curation_docs,
     with redirect_stdout(buf):
         plan_df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_curation_scoring_composes_with_structured_streaming(spark, tmp_path):
+    """The scrub + score stages are stateless Column exprs, so the same
+    code must run unchanged on a readStream — this pins that no
+    non-streamable construct (window-over-all, global sort, collect)
+    sneaks into the scoring path."""
+    import os
+
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.textstats import (
+        SCRUB_PATTERNS, quality_cols, repetition_cols)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a fine day on the hill with me@example.com present",
+                 "spam\nspam\nspam"],
+        "lang": ["en", "en"],
+    }).to_parquet(os.path.join(src, "p.parquet"), index=False)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string").parquet(src)
+    col = F.col("text")
+    for rx, token in SCRUB_PATTERNS:
+        col = F.regexp_replace(col, rx, token)
+    scored = stream.select(
+        "doc_id", col.alias("text"),
+        quality_cols(col)["quality"].alias("quality"),
+        repetition_cols(col)["dup_line_ratio"].alias("dup_line_ratio"))
+    q = (scored.writeStream.format("memory").queryName("cur_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("select * from cur_stream").collect()}
+    assert "<EMAIL>" in rows[1].text and "me@example.com" not in rows[1].text
+    assert rows[2].dup_line_ratio == round(1 - 1 / 3 + 1e-9, 4)
+    assert 0.0 <= rows[1].quality <= 1.0
+
+
+def test_curation_stages_queryable_via_sql_facade(spark, curation_docs,
+                                                  tmp_path):
+    """register_kg_views works on ANY stage dict — the curation result
+    included: the whole curated corpus is queryable through spark.sql."""
+    from smart_pdf_md_spark.plans.pipeline import register_kg_views
+
+    res = run_curation(spark, curation_docs, str(tmp_path / "cur"))
+    names = register_kg_views(spark, res, prefix="cur_")
+    assert {"cur_kept", "cur_chunks", "cur_filtered"} <= set(names)
+    n = spark.sql("select count(*) as n from cur_chunks").collect()[0].n
+    assert n == res["summary"]["chunks"]
