@@ -260,7 +260,15 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     path (signatures are one Arrow pass; banding bounds the join).
 
     Reuses the linking minhash over token 3-gram shingle strings by hashing
-    each document's shingle set instead of a name's char-ngrams."""
+    each document's shingle set instead of a name's char-ngrams.
+
+    Sub-n-token rule (r4 VERDICT "what's wrong" #1): documents with fewer
+    than 3 tokens — including the empty string — have NO 3-gram shingles, so
+    they get a null signature and appear in no pairs, exactly matching
+    `_shingles`' exclusion in the exact operator. The r4 formulation gave
+    them one degenerate short gram, so two empty docs scored
+    est_jaccard = 1.0 while the exact operator emitted nothing — and
+    run_curation's dedup stage would have silently clustered empty docs."""
     from .linking import _A, _B, _MERSENNE, N_BANDS, N_PERM
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -268,7 +276,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         out = []
         for t in texts:
             toks = (t or "").split()
-            grams = {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+            if len(toks) < 3:
+                out.append(None)
+                continue
+            grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
             hs = np.fromiter(
                 (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
                                 "big") & ((1 << 61) - 1) for g in grams),
@@ -278,7 +289,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     r = N_PERM // N_BANDS
-    sigs = df.select(F.col(id_col).alias("id"), doc_sig(F.col(text_col)).alias("sig"))
+    sigs = df.select(F.col(id_col).alias("id"),
+                     doc_sig(F.col(text_col)).alias("sig")) \
+             .filter(F.col("sig").isNotNull())
     bands = sigs.select(
         "id", "sig",
         F.posexplode(F.array(*[F.slice("sig", i * r + 1, r) for i in range(N_BANDS)]))
@@ -306,13 +319,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     """64-bit SimHash (Charikar, "Similarity estimation techniques from
     rounding algorithms", STOC 2002) per document via one Arrow pass (numpy bit votes: each
     distinct token votes ±1 on its md5-derived bits; the signature is the
-    sign vector), plus 4×16-bit band columns for hamming-bucketed joins."""
+    sign vector), plus 4×16-bit band columns for hamming-bucketed joins.
+
+    Empty-doc rule (r4 VERDICT "what's wrong" #1, explicit): a document
+    with NO tokens has no feature set to hash — zero votes would pin every
+    empty doc to signature 0 and make all empty docs pairwise hamming-0
+    "near-dups". Token-less documents therefore emit NO signature row (and
+    so no pairs), the same exclusion `_shingles`/`minhash_dedup_pairs`
+    apply to sub-n-token docs."""
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             toks = set((t or "").split())
+            if not toks:
+                out.append(None)
+                continue
             votes = np.zeros(64, dtype=np.int64)
             shifts = np.arange(64, dtype=np.uint64)
             for tok in toks:
@@ -322,9 +345,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                 votes += np.where(bits == 1, 1, -1)
             sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")  # nullable: None = token-less doc
 
-    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash(F.col(text_col)).alias("simhash")) \
+            .filter(F.col("simhash").isNotNull())
     for i in range(4):
         sig = sig.withColumn(
             f"band{i}",

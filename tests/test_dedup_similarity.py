@@ -264,6 +264,13 @@ def test_minhash_lsh_dedup_recall_vs_exact_jaccard(spark):
     for _ in range(60):  # unrelated background docs
         rows.append((did, " ".join(rng.choice(vocab) for _ in range(120))))
         did += 1
+    # planted sub-n-token docs (r4 VERDICT what's-wrong #1): two empty and
+    # two identical 2-token docs have NO 3-gram shingles — the exact
+    # operator excludes them, and the minhash signature must too (the r4
+    # degenerate-gram formulation paired both duos at est_jaccard = 1.0)
+    degenerate = set()
+    for text in ("", "", "w0 w1", "w0 w1"):
+        rows.append((did, text)); degenerate.add(did); did += 1
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
     exact = {(r.id_a, r.id_b)
@@ -273,6 +280,29 @@ def test_minhash_lsh_dedup_recall_vs_exact_jaccard(spark):
     assert len(exact) >= 30  # the clusters really are near-dups
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"MinHash-LSH recall too low: {recall:.2f}"
+    assert not {p for p in lsh if p[0] in degenerate or p[1] in degenerate}
+
+
+def test_sub_n_token_docs_excluded_from_all_signatures(spark):
+    """The sub-n-token rule is UNIFORM across exact Jaccard, MinHash, and
+    SimHash (r4 VERDICT what's-wrong #1): docs with < 3 tokens (Jaccard /
+    MinHash) have no 3-gram shingles, token-less docs (SimHash) have no
+    feature set — none may emit signatures or pairs, so empty docs cannot
+    cluster with each other in run_curation's dedup stage."""
+    rows = [(0, ""), (1, ""), (2, "a b"), (3, "a b"),
+            (4, "x y z w v u t s"), (5, "x y z w v u t s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {(r.id_a, r.id_b)
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.7).collect()}
+    mh = {(r.id_a, r.id_b)
+          for r in D.minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    sh = {(r.id_a, r.id_b) for r in D.simhash_pairs(docs).collect()}
+    assert exact == {(4, 5)}
+    assert mh == {(4, 5)}
+    # simhash tokenizes unigram-wise, so only the 0-token docs are excluded
+    assert (4, 5) in sh and not {p for p in sh if p[0] < 2 or p[1] < 2}
+    assert D.simhash_signatures(docs).count() == 4  # ids 2..5 only
 
 
 @pytest.fixture(scope="module")
