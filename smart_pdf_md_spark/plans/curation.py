@@ -44,6 +44,7 @@ def run_curation(
     run_dir: str,
     quality_min: float = 0.3,
     dup_line_max: float = 0.5,
+    dup_ngram_max: float | None = 0.8,
     dedup_threshold: float = 0.9,
     fractions: dict | None = None,
     chunk_tokens: int = 100,
@@ -56,7 +57,13 @@ def run_curation(
     and a `summary` row with exact per-stage document counts. ``fractions``
     enables the stratified sampling stage ({lang: keep_fraction}); omitted
     strata drop (see stratified_sample — decisions are id-hash-derived, so a
-    resumed run keeps the identical sample)."""
+    resumed run keeps the identical sample). ``dup_ngram_max`` is the Gopher
+    duplicate-n-gram heuristic the repetition operator exists for (r4
+    VERDICT #6): documents whose duplicate-3-gram ratio exceeds it drop in
+    the filter stage (None disables). Each stage records a digest of its
+    knobs alongside its dep run_ids, so rerunning with different parameters
+    REBUILDS the affected stages instead of resuming stale data (ADVICE
+    r4)."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -88,15 +95,20 @@ def run_curation(
         }
         scored = scrubbed.select(
             "*", *[v.alias(k) for k, v in score_exprs.items()])
-        kept = scored.filter((F.col("quality") >= quality_min) &
-                             (F.col("dup_line_ratio") <= dup_line_max))
+        keep = (F.col("quality") >= quality_min) & \
+            (F.col("dup_line_ratio") <= dup_line_max)
+        if dup_ngram_max is not None:
+            keep = keep & (F.col("dup_ngram_ratio") <= dup_ngram_max)
+        kept = scored.filter(keep)
         if fractions:
             kept = stratified_sample(kept, "lang", fractions)
         return kept
 
     filtered, resumed["filtered"] = run_stage(
         spark, run_dir, "filtered", build_filtered, ["doc_id"],
-        deps=["scrubbed"])
+        deps=["scrubbed"],
+        params={"quality_min": quality_min, "dup_line_max": dup_line_max,
+                "dup_ngram_max": dup_ngram_max, "fractions": fractions})
     _note("filtered")
 
     def build_kept() -> DataFrame:
@@ -109,7 +121,8 @@ def run_curation(
             .drop("is_keeper"))
 
     kept, resumed["kept"] = run_stage(
-        spark, run_dir, "kept", build_kept, ["doc_id"], deps=["filtered"])
+        spark, run_dir, "kept", build_kept, ["doc_id"], deps=["filtered"],
+        params={"dedup_threshold": dedup_threshold})
     _note("kept")
 
     def build_chunks() -> DataFrame:
@@ -118,7 +131,8 @@ def run_curation(
 
     chunks, resumed["chunks"] = run_stage(
         spark, run_dir, "chunks", build_chunks, ["doc_id", "chunk_idx"],
-        deps=["kept"])
+        deps=["kept"],
+        params={"chunk_tokens": chunk_tokens, "overlap": overlap})
     _note("chunks")
 
     # one agg per committed stage — exact, cheap (reads the snapshots)

@@ -17,7 +17,8 @@ file, behind one small interface:
     run_dir/<stage>/_COMMITTED            JSON snapshot pointer, published
                                           LAST via temp-file + os.replace:
                                           {"run_id", "batches", "manifest"}
-    run_dir/<stage>/_COMMIT_LOCK          per-stage writer lock (O_EXCL pid
+    run_dir/<stage>/_COMMIT_LOCK          per-stage writer lock (hardlink-
+                                          published {pid, token, start}
                                           file; dead holders stolen) — the
                                           catalog-CAS stand-in that stops
                                           concurrent appends losing batches
@@ -131,13 +132,13 @@ def _commit_lock(sdir: str, timeout: float = 300.0, poll: float = 0.05):
     """Serialize commits per stage dir — the sandbox stand-in for Iceberg's
     catalog CAS. Without it, two concurrent appends both read the same prior
     snapshot and the second pointer swap silently drops the first's batch
-    (classic lost update). The lock is an O_EXCL file recording
+    (classic lost update). The lock is a hardlink-published file recording
     {pid, token, start-time}; a holder that died mid-commit (SIGKILL) — or
     whose pid was recycled by an unrelated process — is detected and stolen.
 
     Steal protocol (ADVICE r3 race): the stale lock is os.rename'd to a
     unique temp name FIRST — rename is atomic and exactly one contender
-    succeeds — then the winner retries the O_EXCL create. The old
+    succeeds — then the winner retries the atomic create. The old
     remove-then-create steal let two waiters both observe the dead holder,
     waiter B's remove delete waiter A's freshly created lock, and both
     enter the critical section."""
@@ -146,28 +147,39 @@ def _commit_lock(sdir: str, timeout: float = 300.0, poll: float = 0.05):
     token = uuid.uuid4().hex
     payload = json.dumps({"pid": os.getpid(), "token": token,
                           "start": _proc_start(os.getpid())})
+    # Publish the lock ATOMICALLY WITH its payload (ADVICE r4): under the
+    # old O_EXCL-create-then-write, a waiter polling between the create and
+    # the write read pid 0, declared the LIVE holder torn, and stole the
+    # lock — two processes in the critical section. os.link() of a fully
+    # written claim file fails with FileExistsError exactly like O_EXCL,
+    # but the lock is never observable without its payload.
+    claim = f"{path}.claim.{token}"
+    with open(claim, "w") as f:
+        f.write(payload)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, payload.encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            pid, _, start = _read_lock(path)
-            if _holder_dead(pid, start):
-                # atomic steal: exactly one renamer wins; losers loop and
-                # find either the winner's fresh lock or nothing
-                with contextlib.suppress(OSError):
-                    os.rename(path, f"{path}.stale.{uuid.uuid4().hex}")
-                for f in os.listdir(sdir):
-                    if f.startswith("_COMMIT_LOCK.stale."):
-                        with contextlib.suppress(OSError):
-                            os.remove(os.path.join(sdir, f))
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"stage commit lock busy: {path}")
-            time.sleep(poll)
+    try:
+        while True:
+            try:
+                os.link(claim, path)
+                break
+            except FileExistsError:
+                pid, _, start = _read_lock(path)
+                if _holder_dead(pid, start):
+                    # atomic steal: exactly one renamer wins; losers loop and
+                    # find either the winner's fresh lock or nothing
+                    with contextlib.suppress(OSError):
+                        os.rename(path, f"{path}.stale.{uuid.uuid4().hex}")
+                    for f in os.listdir(sdir):
+                        if f.startswith("_COMMIT_LOCK.stale."):
+                            with contextlib.suppress(OSError):
+                                os.remove(os.path.join(sdir, f))
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"stage commit lock busy: {path}")
+                time.sleep(poll)
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(claim)
     try:
         yield
     finally:
@@ -206,14 +218,30 @@ def _deps_path(run_dir: str, stage: str) -> str:
     return os.path.join(_stage_dir(run_dir, stage), "_DEPS.json")
 
 
-def stage_fresh(run_dir: str, stage: str, deps: list[str] | None) -> bool:
+def params_hash(params: dict | None) -> str | None:
+    """Canonical digest of the stage-relevant parameters, recorded in
+    _DEPS.json under ``__params__``: a committed stage built with DIFFERENT
+    knobs (thresholds, fractions, chunk sizes) is stale even when its
+    upstream run_ids match — resuming it would silently serve data computed
+    under the old knobs (ADVICE r4)."""
+    if params is None:
+        return None
+    import hashlib as _hashlib
+    return _hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()).hexdigest()
+
+
+def stage_fresh(run_dir: str, stage: str, deps: list[str] | None,
+                params: dict | None = None) -> bool:
     """Committed AND its recorded upstream run_ids still match the current
-    commits — a stage whose input was re-committed (e.g. incremental append
-    to mentions) is stale and must recompute, or resume would silently serve
-    results computed from the old input."""
+    commits AND (when the stage takes parameters) the recorded params digest
+    matches — a stage whose input was re-committed (e.g. incremental append
+    to mentions) or whose knobs changed is stale and must recompute, or
+    resume would silently serve results computed from the old input."""
     if not stage_committed(run_dir, stage):
         return False
-    if not deps:
+    ph = params_hash(params)
+    if not deps and ph is None:
         return True
     import json as _json
     dp = _deps_path(run_dir, stage)
@@ -221,7 +249,10 @@ def stage_fresh(run_dir: str, stage: str, deps: list[str] | None) -> bool:
         return False  # legacy commit without dep records → be safe, recompute
     with open(dp) as f:
         recorded = _json.load(f)
-    return all(recorded.get(d) == stage_run_id(run_dir, d) for d in deps)
+    if ph is not None and recorded.get("__params__") != ph:
+        return False
+    return all(recorded.get(d) == stage_run_id(run_dir, d)
+               for d in (deps or []))
 
 
 def read_stage(spark: SparkSession, run_dir: str, stage: str) -> DataFrame:
@@ -254,6 +285,7 @@ def commit_stage(
     run_id: str | None = None,
     mode: str = "overwrite",
     deps: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Write a fresh immutable batch dir + per-snapshot manifest, then
     atomically publish the snapshot pointer. `mode='append'` keeps the prior
@@ -306,9 +338,12 @@ def commit_stage(
         manifest_name = f"manifest_{run_id}.parquet"
         manifest.write.mode("overwrite").parquet(os.path.join(sdir, manifest_name))
 
-        if deps:
-            _write_atomic(_deps_path(run_dir, stage),
-                          json.dumps({d: stage_run_id(run_dir, d) for d in deps}))
+        ph = params_hash(params)
+        if deps or ph is not None:
+            record = {d: stage_run_id(run_dir, d) for d in (deps or [])}
+            if ph is not None:
+                record["__params__"] = ph
+            _write_atomic(_deps_path(run_dir, stage), json.dumps(record))
         _write_atomic(os.path.join(sdir, "_COMMITTED"),
                       json.dumps({"run_id": run_id, "batches": batches,
                                   "manifest": manifest_name}))
@@ -377,12 +412,16 @@ def run_stage(
     key_cols: list[str],
     force: bool = False,
     deps: list[str] | None = None,
+    params: dict | None = None,
 ) -> tuple[DataFrame, bool]:
     """Resume-or-compute. Returns (stage df, was_resumed). A committed stage
-    resumes only while the run_ids of its `deps` stages are unchanged."""
-    if not force and stage_fresh(run_dir, stage, deps):
+    resumes only while the run_ids of its `deps` stages AND its `params`
+    digest are unchanged (ADVICE r4: rerunning with different knobs must
+    rebuild, not serve stale data)."""
+    if not force and stage_fresh(run_dir, stage, deps, params):
         return read_stage(spark, run_dir, stage), True
-    return commit_stage(build(), run_dir, stage, key_cols, deps=deps), False
+    return commit_stage(build(), run_dir, stage, key_cols, deps=deps,
+                        params=params), False
 
 
 def pending_inputs(inputs_with_id: DataFrame, spark: SparkSession,

@@ -53,7 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                          "files get status 'timeout' (rc 9) and the run "
                          "continues. The reference parses -t/--timeout but "
                          "never consults it (cli.py:331-335); here it is "
-                         "enforced at slice boundaries")
+                         "enforced cooperatively at regex slice boundaries "
+                         "and around the single-shot regex / AST parse "
+                         "(granularity: one slice or one parse may overrun "
+                         "before the check lands; oversized python files "
+                         "are size-pre-gated)")
     ap.add_argument("--dedup-content", action="store_true",
                     help="extract once per distinct content + fan-out "
                          "instead of per file — worth it on high-duplication "

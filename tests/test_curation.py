@@ -22,9 +22,17 @@ def curation_docs(spark):
     for i in range(40, 44):
         rows.append((i, rows[0][1], "en"))         # exact dups of doc 0
     rows.append((44, "?!:; ?!:;", "en"))           # pure punct → filtered
-    rows.append((45, "spam\nspam\nspam\nspam", "en"))  # repetitious → filtered
-    rows.append((46, "der schnelle braune fuchs " * 30, "de"))
-    rows.append((47, "contact me me@example.com now " * 20, "en"))  # PII
+    rows.append((45, "spam\nspam\nspam\nspam", "en"))  # dup LINES → filtered
+    rows.append((46, "es war einmal und " + " ".join(
+        f"der schnelle braune fuchs nummer{i} springt hoch" for i in range(12))
+        + " und so weiter bis zum ende der geschichte", "de"))
+    rows.append((47, "the story of it is on a hill and contact me at "
+                     "me@example.com for the day it was a good one in the "
+                     "end", "en"))  # PII, non-repetitive → survives filter
+    # dropped by the duplicate-N-GRAM ratio ALONE (r4 VERDICT #6): one
+    # single line (dup_line_ratio = 0), stopword-rich (clears quality), but
+    # a 4-token phrase repeated 40× → dup_ngram_ratio ≈ 0.97 > 0.8 default
+    rows.append((48, "we repeat the phrase " * 40, "en"))
     return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
 
 
@@ -33,14 +41,22 @@ def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
                        quality_min=0.3, dup_line_max=0.5,
                        dedup_threshold=0.9)
     s = res["summary"]
-    assert s["docs_in"] == 48
-    # low-quality + repetitious dropped; everything else survives the filter
+    assert s["docs_in"] == 49
+    # low-quality (44) + dup-line (45) + dup-ngram-alone (48) dropped;
+    # everything else survives the filter
     assert s["after_filter"] == 46
     # the 4 planted exact dups collapse into doc 0's cluster
     assert s["after_dedup"] == 42
     kept_ids = {r.doc_id for r in res["kept"].select("doc_id").collect()}
     assert 0 in kept_ids and not ({40, 41, 42, 43} & kept_ids)
-    assert {44, 45}.isdisjoint(kept_ids)
+    assert {44, 45, 48}.isdisjoint(kept_ids)
+    # doc 48's drop is the n-gram ratio ALONE: disabling the Gopher knob
+    # (and nothing else) brings it back
+    res2 = run_curation(spark, curation_docs, str(tmp_path / "cur2"),
+                        quality_min=0.3, dup_line_max=0.5,
+                        dup_ngram_max=None, dedup_threshold=0.9)
+    assert res2["summary"]["after_filter"] == 47
+    assert 48 in {r.doc_id for r in res2["filtered"].select("doc_id").collect()}
     # scrubbing happened before scoring: no raw email survives anywhere
     assert res["kept"].filter(F.col("text").contains("me@example.com")) \
         .count() == 0
@@ -57,6 +73,33 @@ def test_curation_resumes_all_stages(spark, curation_docs, tmp_path):
     second = run_curation(spark, curation_docs, run_dir)
     assert all(second["resumed"].values())
     assert first["summary"] == second["summary"]
+
+
+def test_curation_knob_change_rebuilds_stale_stages(spark, curation_docs,
+                                                    tmp_path):
+    """ADVICE r4: rerunning on a committed run_dir with DIFFERENT knobs must
+    rebuild the stages those knobs feed — the r4 resume compared only
+    upstream run_ids, silently serving filtered/kept/chunks built under the
+    old thresholds. Knob-independent upstream stages still resume."""
+    run_dir = str(tmp_path / "cur")
+    first = run_curation(spark, curation_docs, run_dir)
+
+    # a filter-stage knob changes → scrubbed resumes, the rest rebuild
+    second = run_curation(spark, curation_docs, run_dir, dup_ngram_max=None)
+    assert second["resumed"]["scrubbed"]
+    assert not second["resumed"]["filtered"]
+    assert not second["resumed"]["kept"]      # dep run_id chain propagates
+    assert not second["resumed"]["chunks"]
+    assert second["summary"]["after_filter"] == \
+        first["summary"]["after_filter"] + 1  # doc 48 readmitted
+
+    # a chunk-stage knob changes → everything upstream resumes
+    third = run_curation(spark, curation_docs, run_dir, dup_ngram_max=None,
+                         chunk_tokens=50, overlap=10)
+    assert third["resumed"]["scrubbed"] and third["resumed"]["filtered"] \
+        and third["resumed"]["kept"]
+    assert not third["resumed"]["chunks"]
+    assert third["summary"]["chunks"] > second["summary"]["chunks"]
 
 
 def test_curation_stratified_mix_is_deterministic(spark, curation_docs,

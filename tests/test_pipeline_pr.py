@@ -244,3 +244,55 @@ def test_file_timeout_is_isolated_per_file(spark, corpus_sdf, monkeypatch):
     st2 = file_status(build_mentions(
         spark, corpus_sdf.filter("path = 'big/giant2.js'"))).toPandas()
     assert (st2["status"] == "ok").all()
+
+
+def test_ast_route_timeout_and_size_pregate(spark, monkeypatch):
+    """The per-file budget covers the AST route too (r4 VERDICT "what's
+    missing" #3): a slow AST engine expires python files with status
+    'timeout'/rc 9, and a python file over AST_TIMEOUT_MAX_BYTES is
+    size-pre-gated to 'timeout' without even attempting the parse (a
+    non-preemptible ast.parse cannot honor a wall-clock budget)."""
+    from smart_pdf_md_spark.operators.extract import (
+        AST_TIMEOUT_MAX_BYTES, file_status)
+    from smart_pdf_md_spark.plans.pipeline import build_mentions
+
+    giant = "x = 1\n" * (AST_TIMEOUT_MAX_BYTES // 6 + 10)  # > pre-gate bytes
+    rows = [("r", "a.py", "c", "python", "def f():\n    return 1\n"),
+            ("r", "b.py", "c", "python", giant)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+    monkeypatch.setenv("KG_MOCK_SLEEP_AST", "0.5")
+    st = file_status(build_mentions(spark, corpus, timeout_sec=0.2)) \
+        .toPandas().set_index("path")
+    assert st.loc["a.py", "status"] == "timeout" and st.loc["a.py", "rc"] == 9
+    assert st.loc["b.py", "status"] == "timeout" and st.loc["b.py", "rc"] == 9
+
+    # no budget → the slow parse completes; the giant parses too (no gate)
+    monkeypatch.setenv("KG_MOCK_SLEEP_AST", "0.05")
+    st2 = file_status(build_mentions(spark, corpus)).toPandas()
+    assert (st2["status"] == "ok").all()
+
+
+def test_transient_failure_not_memoized(spark, monkeypatch):
+    """The per-partition extraction memo must not cache wall-clock-dependent
+    outcomes (ADVICE r4): with an injected fail-FIRST-attempt fault and two
+    byte-identical colocated files, exactly one file errors and the other
+    gets its own (successful) attempt — a memoized 'error' would condemn
+    both."""
+    import uuid
+
+    from smart_pdf_md_spark.operators.extract import file_status
+    from smart_pdf_md_spark.plans.pipeline import build_mentions
+
+    content = "def f():\n    return 1\n"
+    rows = [("r", "a.py", "c", "python", content),
+            ("r", "b.py", "c", "python", content)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string").coalesce(1)
+
+    monkeypatch.setenv("KG_MOCK_FAIL_ONCE", uuid.uuid4().hex)
+    st = file_status(build_mentions(spark, corpus)).toPandas()
+    assert sorted(st["status"]) == ["error", "ok"]

@@ -341,6 +341,36 @@ def test_recycled_pid_lock_is_stolen(spark, run_dir):
     os.remove(path)
 
 
+def test_lock_published_atomically_with_payload(run_dir):
+    """ADVICE r4: the lock must never be observable WITHOUT its payload —
+    the old O_EXCL-create-then-write had a window where a waiter read pid 0,
+    declared the live holder torn, and stole the lock. Under the hardlink
+    publish, the lock file, whenever it exists, always carries a complete
+    {pid, token, start} record; an empty lock can only be a legacy torn
+    write and is still stolen promptly."""
+    import json
+
+    from smart_pdf_md_spark.plans.manifests import _commit_lock, _proc_start
+
+    sdir = os.path.join(run_dir, "triples")
+    os.makedirs(sdir, exist_ok=True)
+    path = os.path.join(sdir, "_COMMIT_LOCK")
+    with _commit_lock(sdir):
+        d = json.load(open(path))  # complete payload, atomically visible
+        assert d["pid"] == os.getpid()
+        assert d["start"] == _proc_start(os.getpid())
+        assert d["token"]
+        # the claim temp file is consumed by the publish
+        assert [f for f in os.listdir(sdir) if ".claim." in f] == []
+    assert not os.path.exists(path)
+
+    # legacy torn write (empty file) is still treated as dead and stolen
+    open(path, "w").close()
+    with _commit_lock(sdir, timeout=5.0):
+        pass
+    assert not os.path.exists(path)
+
+
 @pytest.mark.slow
 def test_pre_r3_run_dir_resumes_with_backfill(spark, corpus_sdf, run_dir):
     """A run_dir whose mentions/triples stages were committed BEFORE span +
