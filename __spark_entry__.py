@@ -1017,6 +1017,102 @@ def _mm_features(spark, sf):
                         feature_str.alias("feature"))
 
 
+def _repetition_stats(spark, sf):
+    # Gopher/RefinedWeb duplicate-line / duplicate-3-gram ratios
+    # (textstats.py:repetition_stats) — scan-side Column exprs; the DuckDB
+    # parity SQL below is the in-test pin from
+    # test_repetition_stats_known_values lifted onto the driver board
+    # (r4 VERDICT next-round #2).
+    return TS.repetition_stats(_t(spark, sf, "documents"))
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     ln -> length(trim(ln)) > 0) AS lines,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS grams
+  FROM base
+)
+SELECT doc_id,
+       round(CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) END + 1e-9, 4) AS dup_line_ratio,
+       round(CASE WHEN len(grams) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END + 1e-9, 4) AS dup_ngram_ratio
+FROM g
+"""
+
+
+def _triangle_count(spark, sf):
+    # degree-ordered triangle counting (graph.py:triangle_count,
+    # Suri/Vassilvitskii WWW'11) over a tripartite projection of lineitem:
+    # each row contributes order–part, order–supplier, part–supplier edges
+    # (prefixed so key spaces can't collide), so every distinct (o, p, s)
+    # combination with all three links closes a triangle. The oracle is the
+    # canonical u<v three-self-join count.
+    from smart_pdf_md_spark.operators.graph import triangle_count
+    li = _t(spark, sf, "lineitem")
+
+    def node(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    def rel(a, b):
+        return li.select(a.alias("subj"), F.lit("E").alias("pred"),
+                         b.alias("obj"))
+
+    edges = (rel(node("o", "l_orderkey"), node("p", "l_partkey"))
+             .unionByName(rel(node("o", "l_orderkey"), node("s", "l_suppkey")))
+             .unionByName(rel(node("p", "l_partkey"), node("s", "l_suppkey"))))
+    return triangle_count(edges)
+
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+    SELECT 'o' || l_orderkey AS a, 'p' || l_partkey AS b FROM lineitem
+    UNION ALL SELECT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+    UNION ALL SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem
+  ) WHERE a <> b
+)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def _dedup_clusters_q(spark, sf):
+    # pairs → transitive clusters → deterministic keeper (dedup.py:
+    # dedup_clusters): cluster labels are min-id-derived, so the full
+    # (id, keeper_id, cluster_size, is_keeper) table is deterministic at
+    # any parallelism — rows-only because transitive closure needs a
+    # recursive CTE DuckDB-side (pytest pins exactness on planted graphs).
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.9)
+    return D.dedup_clusters(pairs, docs)
+
+
+def _curation_chunks(spark, sf):
+    # the staged curation pipeline end-to-end (plans/curation.py:
+    # run_curation — scrub → score/filter → dedup-to-keeper → chunk) on the
+    # driver surface (r4 VERDICT next-round #7): runs into a fresh tempdir
+    # (committed snapshots + manifests exercised every sweep) and returns
+    # the chunk table a trainer would consume. Deterministic: id-hash
+    # sampling, min-id keepers, fixed thresholds.
+    import tempfile
+
+    from smart_pdf_md_spark.plans.curation import run_curation
+    run_dir = tempfile.mkdtemp(prefix="kg_curation_board_")
+    res = run_curation(spark, _t(spark, sf, "documents"), run_dir)
+    return res["chunks"]
+
+
 _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (_q1_pricing, _Q1_SQL),
     "s1_scan_project": (_s1_scan_project, _S1_SQL),
@@ -1031,7 +1127,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "j1_broadcast_join": (_j1_broadcast, _J1_SQL),
     "j4_anti_join": (_j4_anti, _J4_SQL),
     "j5_semi_join": (_j5_semi, _J5_SQL),
-    "j6_full_outer": (_j6_full_outer, _J6_SQL),
     "w1_topk_per_group": (_w1_topk, _W1_SQL),
     "w3_sessionize": (_w3_sessionize, _W3_SQL),
     "set_union_except": (_set_ops, _SET_SQL),
@@ -1041,7 +1136,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "events_tumbling_window": (_events_tumbling, _TUMBLING_SQL),
     "f1_json_extract": (_f1_json_extract, _F1_SQL),
     "f2_string_funcs": (_f2_string_funcs, _F2_SQL),
-    "s2_single_file": (_s2_single_file, _S2_SQL),
     "j5b_salted_agg": (_j5b_salted_agg, _J5B_SQL),
     "t1_grouped_zscore": (_t1_grouped_zscore, _T1_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
@@ -1051,7 +1145,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "text_token_count": (_text_tokens, _TOKENS_SQL),
     "text_chunking": (_text_chunking, _CHUNK_SQL),
     "text_quality_score": (_text_quality, _QUALITY_SQL),
-    "text_lang_id": (_text_lang_id, _LANG_ID_SQL),
     "text_fingerprint": (_text_fingerprint, _FINGERPRINT_SQL),
     "mm_media_meta": (_mm_meta, _MM_META_SQL),
     # rows-only (no SQL oracle): KG pipeline + approximate operators
@@ -1062,7 +1155,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "g1_two_hop": (_g1_two_hop, _G1_SQL),
     "g2_degrees": (_g2_degrees, _G2_SQL),
     "kg_pagerank": (_kg_pagerank, None),
-    "kg_two_hop_calls": (_kg_two_hop, None),
     "dedup_minhash_lsh": (_dedup_minhash, None),
     "ann_topk_lsh": (_ann_lsh, None),
     "mm_extract_features": (_mm_features, None),
@@ -1076,6 +1168,18 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "j8_range_join": (_j8_range_join, _J8_SQL),
     "mean_pool": (_mean_pool, _MEAN_POOL_SQL),
     "ann_topk_ivf": (_ann_ivf, None),
+    # r5 board rotation (r4 VERDICT next-round #2/#7) — the 50-slot cap
+    # forces swaps: s2_single_file OFF (the scan path is pinned by
+    # s1+s4/s5), j6_full_outer OFF (the join machinery is exercised by the
+    # P/R gate and g2's full outer), text_lang_id OFF (same expression
+    # family as text_quality_score), kg_two_hop_calls OFF (two-hop pinned
+    # by the g1 oracle pair; the KG pipeline by kg_entities/
+    # kg_canonical_triples/kg_pagerank). The four r4/r5 operators the board
+    # never swept rotate ON; retired builders stay defined for tests.
+    "repetition_stats": (_repetition_stats, _REPETITION_SQL),
+    "triangle_count": (_triangle_count, _TRIANGLE_SQL),
+    "dedup_clusters": (_dedup_clusters_q, None),
+    "curation_chunks": (_curation_chunks, None),
 }
 
 
