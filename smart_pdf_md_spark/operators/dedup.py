@@ -40,6 +40,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _gram_hashes(text_col):
+    """Distinct xxhash64'd token n-gram array as a scan-side Column expr —
+    shared by the postings explode (`_shingles`) and the zero-shuffle
+    per-doc gram counts (`decontaminate`). Returns a fn of n so callers
+    pick the gram width (3 for near-dup, 13 for decontamination)."""
+    def grams(n: int):
+        toks = tokens_col(F.col(text_col))
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.when(F.size(toks) >= n,
+                      F.array_distinct(F.transform(g, lambda x: F.xxhash64(x)))) \
+                .otherwise(F.array().cast("array<bigint>"))
+    return grams
+
+
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle-hash) postings. Shingles are xxhash64'd before the
     self-join: the shuffle moves 8-byte longs instead of ~30-byte strings
@@ -52,14 +69,9 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     nothing (r3 VERDICT "what's wrong" #1); the divergence was latent only
     because the driver corpus has no such rows."""
     toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
     return df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(
-            F.transform(grams, lambda g: F.xxhash64(g)))).alias("shingle"),
+        F.explode(_gram_hashes(text_col)(n)).alias("shingle"),
     )
 
 
@@ -212,6 +224,60 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str = "text",
     ``regime="auto"`` to pick the regime from the corpus shape."""
     return ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
                                max_posting, regime="prefix")
+
+
+def exact_dup_pairs(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b) star edges linking every byte-identical duplicate to its
+    group's min id — the exact-dup channel for :func:`dedup_clusters`.
+    Near-dup signatures exclude sub-n-token docs by design (two empty
+    documents are NOT near-duplicates of each other in shingle space), so
+    a cluster pass that must also collapse byte-identical short/empty docs
+    unions these pairs in: exact equality needs no shingles. One shuffle on
+    sha256; star edges keep the pair count linear in group size."""
+    grouped = exact_dedup(df, text_col, id_col)
+    members = df.select(F.sha2(F.col(text_col), 256).alias("content_hash"),
+                        F.col(id_col).alias("id_b"))
+    return (members.join(grouped.filter(F.col("n_copies") > 1),
+                         "content_hash")
+            .filter(F.col("id_b") != F.col("keeper_id"))
+            .select(F.col("keeper_id").alias("id_a"), "id_b"))
+
+
+def decontaminate(docs: DataFrame, benchmarks: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 13) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share any
+    n-token gram (default 13, the GPT-3 appendix-C / Llama overlap width;
+    Brown et al. 2020, Touvron et al. 2023) with a held-out eval/benchmark
+    set. Returns one row per input doc: (id, n_grams, hit_grams,
+    contamination_ratio, contaminated); filter on ``NOT contaminated`` for
+    the training-safe corpus, or rank by the ratio to audit borderline docs.
+
+    Scale shape: the benchmark side is eval-sized, so its distinct shingle
+    set BROADCASTS — the corpus stream is scan-side shingling plus a
+    broadcast hash join; the only shuffle is the per-doc hit count, whose
+    input is hits-sized (contaminated grams only), not corpus-sized.
+    Per-doc gram totals are a scan-side Column (no postings shuffle).
+    Docs with < n tokens have no grams and are trivially clean."""
+    grams = _gram_hashes(text_col)(n)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.size(grams).alias("n_grams"))
+    # the postings id is discarded — the text column doubles as it, so the
+    # benchmark frame needs no particular id column
+    bench_sh = _shingles(benchmarks, bench_text_col,
+                         bench_text_col, n).select("shingle").distinct()
+    hits = (_shingles(docs, text_col, id_col, n)
+            .join(F.broadcast(bench_sh), "shingle")
+            .groupBy("id").agg(F.count("*").alias("hit_grams")))
+    return (base.join(hits, "id", "left")
+            .select("id", "n_grams",
+                    F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"))
+            .withColumn(
+                "contamination_ratio",
+                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                    F.round(F.col("hit_grams") / F.col("n_grams") + 1e-9, 4)))
+            .withColumn("contaminated", F.col("hit_grams") > 0))
 
 
 def dedup_clusters(pairs: DataFrame, docs: DataFrame,

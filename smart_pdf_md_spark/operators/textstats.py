@@ -10,7 +10,7 @@ stage: no shuffle, no UDF, filters push down.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny English stopword profile for the n-gram/stopword language heuristic
@@ -331,3 +331,87 @@ def stratified_sample(df: DataFrame, strata_col: str,
                     F.lit(1_000_000))
     return df.filter(frac.isNotNull() &
                      (bucket < (frac * 1_000_000).cast("long")))
+
+
+def adaptive_quality_filter(df: DataFrame, frac: float = 0.8,
+                            by: str = "lang",
+                            text_col: str = "text") -> DataFrame:
+    """Keep the TOP `frac` of every stratum by quality score — the adaptive
+    alternative to a global quality_min threshold (a fixed cut calibrated
+    on English prose silently over- or under-filters other languages /
+    registers; per-stratum rank cuts are self-calibrating). EXACT
+    percent_rank with ties broken by doc_id, so the kept set is
+    deterministic at any parallelism and SQL-expressible (the DuckDB
+    parity pin lives in tests).
+
+    A row survives iff percent_rank() <= frac within its stratum under
+    ORDER BY quality DESC, doc_id. Scale shape: quality is a scan-side
+    Column; the only shuffle is one hash-partition-by-stratum for the
+    window sort. Skewed strata (one giant language) are a single-key sort —
+    at 100 TB pre-split such strata by a salt on a FIRST pass computing
+    approximate cut scores instead; this operator is the exact formulation."""
+    q = quality_cols(F.col(text_col))["quality"]
+    w = Window.partitionBy(by).orderBy(F.desc("quality"), "doc_id")
+    return (df.withColumn("quality", q)
+            .withColumn("q_rank", F.round(F.percent_rank().over(w) + 1e-9, 4))
+            .filter(F.col("q_rank") <= frac))
+
+
+def pack_sequences(chunks: DataFrame, budget_tokens: int = 2048,
+                   n_buckets: int = 1024,
+                   len_col: str = "chunk_len") -> DataFrame:
+    """Pack chunks into fixed-token-budget training sequences (the
+    "sequence packing" step that feeds a trainer: concatenating short
+    chunks up to the context budget recovers the padding waste). Each
+    input chunk row gains (pack_id, pack_tokens, overflow).
+
+    First-fit-decreasing greedy packing inside DETERMINISTIC id-hash
+    buckets: bucket = pmod(xxhash64(doc_id), n_buckets), then an
+    applyInPandas grouped map sorts the bucket by (len desc, doc_id,
+    chunk_idx) and first-fits into bins. Assignments are a pure function
+    of (doc_id, chunk_idx, len) — stable across partitionings, runs and
+    cluster sizes, like stratified_sample. Chunks longer than the budget
+    get a singleton pack with overflow=true (the caller decides truncate
+    vs drop). Scale shape: one shuffle onto ~n_buckets keys, each bucket
+    a bounded in-memory greedy; no global sort, no driver state."""
+    import pandas as pd
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    cols = list(chunks.columns)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", pack_id string, pack_tokens int, overflow boolean"
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        pdf = pdf.sort_values(
+            [len_col, "doc_id", "chunk_idx"],
+            ascending=[False, True, True]).reset_index(drop=True)
+        bins: list[int] = []      # remaining capacity per bin
+        assign, totals = [], []
+        for ln in pdf[len_col].astype(int):
+            if ln > budget_tokens:
+                bins.append(-1)   # closed singleton (overflow)
+                assign.append(len(bins) - 1)
+                continue
+            for b in range(len(bins)):
+                if bins[b] >= ln:
+                    bins[b] -= ln
+                    assign.append(b)
+                    break
+            else:
+                bins.append(budget_tokens - ln)
+                assign.append(len(bins) - 1)
+        used = pdf[len_col].groupby(pd.Series(assign)).sum()
+        pdf["pack_id"] = [f"{bucket}/{b}" for b in assign]
+        pdf["pack_tokens"] = [int(used[b]) for b in assign]
+        pdf["overflow"] = pdf[len_col].astype(int) > budget_tokens
+        return pdf
+
+    bucketed = chunks.withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id", F.lit("pack_v1")),
+                          F.lit(n_buckets)))
+    return (bucketed.groupBy("_bucket")
+            .applyInPandas(pack, schema="_bucket bigint, " + out_schema)
+            .select(*cols, "pack_id", "pack_tokens", "overflow"))

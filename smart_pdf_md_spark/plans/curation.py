@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+from ..operators.dedup import (
+    decontaminate,
+    dedup_clusters,
+    exact_dup_pairs,
+    minhash_dedup_pairs,
+)
 from ..operators.textstats import (
     chunk_documents,
     quality_cols,
@@ -47,6 +52,8 @@ def run_curation(
     dup_ngram_max: float | None = 0.8,
     dedup_threshold: float = 0.9,
     fractions: dict | None = None,
+    benchmarks: DataFrame | None = None,
+    decontam_n: int = 13,
     chunk_tokens: int = 100,
     overlap: int = 20,
     on_stage=None,
@@ -63,7 +70,11 @@ def run_curation(
     the filter stage (None disables). Each stage records a digest of its
     knobs alongside its dep run_ids, so rerunning with different parameters
     REBUILDS the affected stages instead of resuming stale data (ADVICE
-    r4)."""
+    r4). ``benchmarks`` (doc_id-like first column + text) enables the
+    decontamination stage: documents sharing any ``decontam_n``-token gram
+    with the benchmark set (GPT-3 appendix-C overlap) are dropped between
+    filter and dedup — eval answers memorized verbatim in the training set
+    are the one corpus defect no downstream metric can surface."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -111,17 +122,38 @@ def run_curation(
                 "dup_ngram_max": dup_ngram_max, "fractions": fractions})
     _note("filtered")
 
+    upstream, upstream_name = filtered, "filtered"
+    if benchmarks is not None:
+        def build_clean() -> DataFrame:
+            dec = decontaminate(upstream, benchmarks, n=decontam_n)
+            keep_ids = dec.filter(~F.col("contaminated")) \
+                .select(F.col("id").alias("doc_id"))
+            return upstream.join(keep_ids, "doc_id", "left_semi")
+
+        clean, resumed["clean"] = run_stage(
+            spark, run_dir, "clean", build_clean, ["doc_id"],
+            deps=["filtered"], params={"decontam_n": decontam_n})
+        _note("clean")
+        upstream, upstream_name = clean, "clean"
+
     def build_kept() -> DataFrame:
-        pairs = minhash_dedup_pairs(filtered, threshold=dedup_threshold)
-        clusters = dedup_clusters(pairs, filtered)
-        return (filtered.join(
+        # near-dup channel + exact channel: minhash excludes sub-n-token
+        # docs by design (empty docs are not near-dups of each other), so
+        # byte-identical short docs collapse via the exact-pair union
+        pairs = minhash_dedup_pairs(upstream, threshold=dedup_threshold) \
+            .select("id_a", "id_b") \
+            .unionByName(exact_dup_pairs(upstream)) \
+            .dropDuplicates(["id_a", "id_b"])
+        clusters = dedup_clusters(pairs, upstream)
+        return (upstream.join(
             clusters.select(F.col("id").alias("doc_id"), "keeper_id",
                             "cluster_size", "is_keeper"), "doc_id")
             .filter("is_keeper")
             .drop("is_keeper"))
 
     kept, resumed["kept"] = run_stage(
-        spark, run_dir, "kept", build_kept, ["doc_id"], deps=["filtered"],
+        spark, run_dir, "kept", build_kept, ["doc_id"],
+        deps=[upstream_name],
         params={"dedup_threshold": dedup_threshold})
     _note("kept")
 
@@ -142,7 +174,7 @@ def run_curation(
         "after_dedup": kept.count(),
         "chunks": chunks.count(),
     }
-    return {
+    out = {
         "scrubbed": scrubbed,
         "filtered": filtered,
         "kept": kept,
@@ -150,3 +182,7 @@ def run_curation(
         "resumed": resumed,
         "summary": summary,
     }
+    if benchmarks is not None:
+        summary["after_decontam"] = upstream.count()
+        out["clean"] = upstream
+    return out

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from smart_pdf_md_spark.operators.asof import asof_join
 
 
@@ -44,6 +46,7 @@ def test_asof_multiple_value_cols(spark):
     assert (row.asof_v1, row.asof_v2) == (10, "x")
 
 
+@pytest.mark.slow
 def test_range_join_exact_vs_bruteforce(spark):
     """Binned range join == the O(n·m) cross-join predicate, including
     boundary bins (end exactly on a bin edge), empty intervals, keyed and

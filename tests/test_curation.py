@@ -33,30 +33,40 @@ def curation_docs(spark):
     # single line (dup_line_ratio = 0), stopword-rich (clears quality), but
     # a 4-token phrase repeated 40× → dup_ngram_ratio ≈ 0.97 > 0.8 default
     rows.append((48, "we repeat the phrase " * 40, "en"))
+    # dropped ONLY by decontamination (clears every other filter): carries
+    # BENCH_SENTENCE verbatim — the eval-leak fixture
+    rows.append((49, "the story of it was that " + BENCH_SENTENCE +
+                     " and so the day ended well for all of them", "en"))
     return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
 
 
+# 13 distinctive tokens a benchmark shares with doc 49 (and nothing else)
+BENCH_SENTENCE = ("qq ww ee rr tt yy uu ii oo pp aa ss dd")
+
+
 def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
+    bench = spark.createDataFrame(
+        [(1, f"question intro {BENCH_SENTENCE} choose one answer")],
+        ["bench_id", "text"])
     res = run_curation(spark, curation_docs, str(tmp_path / "cur"),
                        quality_min=0.3, dup_line_max=0.5,
-                       dedup_threshold=0.9)
+                       dedup_threshold=0.9, benchmarks=bench)
     s = res["summary"]
-    assert s["docs_in"] == 49
+    assert s["docs_in"] == 50
     # low-quality (44) + dup-line (45) + dup-ngram-alone (48) dropped;
     # everything else survives the filter
-    assert s["after_filter"] == 46
+    assert s["after_filter"] == 47
+    # decontamination drops exactly the planted eval-leak doc (49)
+    assert s["after_decontam"] == 46
     # the 4 planted exact dups collapse into doc 0's cluster
     assert s["after_dedup"] == 42
     kept_ids = {r.doc_id for r in res["kept"].select("doc_id").collect()}
     assert 0 in kept_ids and not ({40, 41, 42, 43} & kept_ids)
-    assert {44, 45, 48}.isdisjoint(kept_ids)
-    # doc 48's drop is the n-gram ratio ALONE: disabling the Gopher knob
-    # (and nothing else) brings it back
-    res2 = run_curation(spark, curation_docs, str(tmp_path / "cur2"),
-                        quality_min=0.3, dup_line_max=0.5,
-                        dup_ngram_max=None, dedup_threshold=0.9)
-    assert res2["summary"]["after_filter"] == 47
-    assert 48 in {r.doc_id for r in res2["filtered"].select("doc_id").collect()}
+    assert {44, 45, 48, 49}.isdisjoint(kept_ids)
+    assert 49 in {r.doc_id
+                  for r in res["filtered"].select("doc_id").collect()}
+    # (the dup_ngram_max=None counter-proof that 48's drop is the n-gram
+    # ratio ALONE lives in test_curation_knob_change_rebuilds_stale_stages)
     # scrubbing happened before scoring: no raw email survives anywhere
     assert res["kept"].filter(F.col("text").contains("me@example.com")) \
         .count() == 0
@@ -66,6 +76,7 @@ def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
     assert s["chunks"] == res["chunks"].count()
 
 
+@pytest.mark.slow
 def test_curation_resumes_all_stages(spark, curation_docs, tmp_path):
     run_dir = str(tmp_path / "cur")
     first = run_curation(spark, curation_docs, run_dir)
@@ -75,6 +86,7 @@ def test_curation_resumes_all_stages(spark, curation_docs, tmp_path):
     assert first["summary"] == second["summary"]
 
 
+@pytest.mark.slow
 def test_curation_knob_change_rebuilds_stale_stages(spark, curation_docs,
                                                     tmp_path):
     """ADVICE r4: rerunning on a committed run_dir with DIFFERENT knobs must
@@ -102,6 +114,7 @@ def test_curation_knob_change_rebuilds_stale_stages(spark, curation_docs,
     assert third["summary"]["chunks"] > second["summary"]["chunks"]
 
 
+@pytest.mark.slow
 def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
                                                   tmp_path):
     kw = dict(fractions={"en": 1.0})  # drop non-en strata entirely
@@ -112,6 +125,7 @@ def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
     assert ids(a) == ids(b)
 
 
+@pytest.mark.slow
 def test_curation_scoring_stage_is_shuffle_free(spark, curation_docs,
                                                 tmp_path):
     """The score/filter stage computes quality + repetition + token counts
@@ -178,6 +192,7 @@ def test_curation_scoring_composes_with_structured_streaming(spark, tmp_path):
     assert 0.0 <= rows[1].quality <= 1.0
 
 
+@pytest.mark.slow
 def test_curation_stages_queryable_via_sql_facade(spark, curation_docs,
                                                   tmp_path):
     """register_kg_views works on ANY stage dict — the curation result

@@ -51,6 +51,7 @@ def test_minhash_dedup_finds_exact_duplicates(spark, corpus_docs):
         assert pairs.filter("est_jaccard < 0.99").count() == 0
 
 
+@pytest.mark.slow
 def test_simhash_identical_zero_hamming(spark, corpus_docs):
     pairs = D.simhash_pairs(corpus_docs.filter("length(text) > 0"),
                             max_hamming=0)
@@ -60,6 +61,7 @@ def test_simhash_identical_zero_hamming(spark, corpus_docs):
         assert pairs.count() > 0
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_vs_bruteforce(spark):
     from smart_pdf_md_spark.sources.tables import load_table
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -181,6 +183,7 @@ def test_scrub_text_idempotent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_embedding_lsh_dedup_recall_vs_exact(spark):
     """LSH-bucketed embedding dedup: every emitted pair is exact-verified
     (subset of the brute-force pair set, same cosines) and recall on planted
@@ -328,6 +331,7 @@ def clustered_emb(spark):
     return df
 
 
+@pytest.mark.slow
 def test_ivf_structure_and_determinism(spark, clustered_emb):
     """Every vector lands in exactly one inverted list; codebook and
     assignments are identical across two independent trainings (seeded init
@@ -346,6 +350,7 @@ def test_ivf_structure_and_determinism(spark, clustered_emb):
     assert len(lists) >= 2                        # k-means actually split
 
 
+@pytest.mark.slow
 def test_ivf_recall_vs_bruteforce(spark, clustered_emb):
     """Probing half the lists on clustered data recovers >=0.7 of exact
     top-k; probing ALL lists is exhaustive => recall 1.0 (the IVF analogue
@@ -645,6 +650,7 @@ def test_ngram_jaccard_short_doc_parity_with_oracle(spark):
     assert ids_in_pairs <= {6, 7}
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_auto_regime_selection(spark):
     """regime='auto' must route a boilerplate-heavy corpus (long postings)
     to the prefix/PPJoin regime and a thin-postings corpus to the direct
@@ -679,6 +685,7 @@ def test_ngram_jaccard_auto_regime_selection(spark):
                               regime="bogus")
 
 
+@pytest.mark.slow
 def test_winnow_containment_pairs_detects_subset_docs(spark):
     """The winnowing CONSUMER (r3 VERDICT #4): a doc embedded verbatim in a
     larger one must surface as a containment pair at a threshold where the
@@ -738,8 +745,15 @@ def test_dedup_clusters_transitive_keeper_selection(spark):
 def test_dedup_clusters_end_to_end_with_minhash(spark, corpus_docs):
     """Full keep-one-copy pass on the vendored-duplicate corpus: exact-dup
     groups found by sha256 must collapse to single keepers after
-    minhash pairs → clusters, and every keeper survives the filter."""
-    pairs = D.minhash_dedup_pairs(corpus_docs, threshold=0.9)
+    (minhash ∪ exact) pairs → clusters, and every keeper survives the
+    filter. The exact channel is REQUIRED for byte-identical sub-3-token
+    docs (r5: near-dup signatures exclude them by design — two empty docs
+    are not near-duplicates in shingle space), which is exactly how
+    run_curation composes its dedup stage."""
+    pairs = D.minhash_dedup_pairs(corpus_docs, threshold=0.9) \
+        .select("id_a", "id_b") \
+        .unionByName(D.exact_dup_pairs(corpus_docs)) \
+        .dropDuplicates(["id_a", "id_b"])
     clusters = D.dedup_clusters(pairs, corpus_docs)
     assert clusters.count() == corpus_docs.count()  # one row per input doc
     kept = clusters.filter("is_keeper")

@@ -269,10 +269,22 @@ def test_ast_route_timeout_and_size_pregate(spark, monkeypatch):
     assert st.loc["a.py", "status"] == "timeout" and st.loc["a.py", "rc"] == 9
     assert st.loc["b.py", "status"] == "timeout" and st.loc["b.py", "rc"] == 9
 
-    # no budget → the slow parse completes; the giant parses too (no gate)
+    # no budget → the slow parse completes and the size gate does NOT apply
+    # (gating unconditionally would change giant-file results). The giant's
+    # control goes through _extract_one directly — same semantics, no Spark
+    # overhead in the default suite.
     monkeypatch.setenv("KG_MOCK_SLEEP_AST", "0.05")
-    st2 = file_status(build_mentions(spark, corpus)).toPandas()
+    st2 = file_status(build_mentions(
+        spark, corpus.filter("path = 'a.py'"))).toPandas()
     assert (st2["status"] == "ok").all()
+
+    from types import SimpleNamespace
+
+    from smart_pdf_md_spark.operators.extract import _extract_one
+    _, _, status, rc = _extract_one(
+        SimpleNamespace(content=giant, route="ast", lang="python"),
+        chunk_lines=100000, mock_fail=False, fail_if_gt=None)
+    assert status == "ok" and rc == 0
 
 
 def test_transient_failure_not_memoized(spark, monkeypatch):

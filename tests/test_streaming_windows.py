@@ -46,6 +46,7 @@ def test_windowed_counts_match_batch(spark, events_dir):
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_stateful_running_counts(spark, events_dir):
     stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
     q = (running_user_counts(stream).writeStream.outputMode("update")
@@ -69,6 +70,7 @@ def test_stateful_running_counts(spark, events_dir):
     assert n_updates > n_users
 
 
+@pytest.mark.slow
 def test_streaming_dedup_drops_duplicate_arrivals(spark, tmp_path):
     """Plant the same events file twice in the stream dir: the deduped
     stream must emit each event_id exactly once (= batch distinct)."""
