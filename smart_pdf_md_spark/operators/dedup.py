@@ -41,10 +41,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _gram_hashes(text_col):
-    """Distinct xxhash64'd token n-gram array as a scan-side Column expr —
-    shared by the postings explode (`_shingles`) and the zero-shuffle
-    per-doc gram counts (`decontaminate`). Returns a fn of n so callers
-    pick the gram width (3 for near-dup, 13 for decontamination)."""
+    """Distinct xxhash64'd token n-gram array as a scan-side Column expr
+    for callers with NO sub-n-token pre-filter (`decontaminate`'s per-doc
+    gram counts) — the F.when guards short docs, at the cost of defeating
+    common-subexpression elimination across the branch (tokens evaluate
+    per branch). Hot postings paths (`_shingles`) use the direct
+    filter-then-project form instead: the r5 wrapped formulation cost +55%
+    on dedup_ngram_jaccard at sf0.1 (3 interleaved rounds, both orders)."""
     def grams(n: int):
         toks = tokens_col(F.col(text_col))
         g = F.transform(
@@ -69,9 +72,14 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     nothing (r3 VERDICT "what's wrong" #1); the divergence was latent only
     because the driver corpus has no such rows."""
     toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
     return df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("id"),
-        F.explode(_gram_hashes(text_col)(n)).alias("shingle"),
+        F.explode(F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g)))).alias("shingle"),
     )
 
 
