@@ -415,3 +415,20 @@ def pack_sequences(chunks: DataFrame, budget_tokens: int = 2048,
     return (bucketed.groupBy("_bucket")
             .applyInPandas(pack, schema="_bucket bigint, " + out_schema)
             .select(*cols, "pack_id", "pack_tokens", "overflow"))
+
+
+def weighted_sample(df: DataFrame, weight: Column,
+                    seed_col: str = "doc_id",
+                    salt: str = "wsample_v1") -> DataFrame:
+    """Deterministic per-row WEIGHTED sampling: a row survives with
+    probability `weight` (a Column in [0, 1], clamped) — the temperature /
+    quality-proportional mixing step of a training-data recipe (e.g. keep
+    probability ∝ quality², or a per-source multiplier joined on). Same
+    contract as stratified_sample: the decision is
+    pmod(xxhash64(seed, salt), 1e6) < weight·1e6 — a pure function of the
+    row, so resumes, re-partitionings, and cluster sizes keep the exact
+    sample (sampleBy/rand() cannot promise that). Distinct salts decorrelate
+    successive sampling passes."""
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight))
+    bucket = F.pmod(F.xxhash64(F.col(seed_col), F.lit(salt)), F.lit(1_000_000))
+    return df.filter(bucket < (w * 1_000_000).cast("long"))

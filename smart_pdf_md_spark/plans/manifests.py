@@ -431,3 +431,40 @@ def pending_inputs(inputs_with_id: DataFrame, spark: SparkSession,
         return inputs_with_id
     done = read_stage(spark, run_dir, stage).select("file_id").distinct()
     return inputs_with_id.join(done, "file_id", "left_anti")
+
+
+def stage_global_digest(spark: SparkSession, run_dir: str,
+                        stage: str) -> tuple[int, int]:
+    """(total_rows, global_digest) for a committed stage, folded from its
+    manifest. Per-partition digests are bit_xor over per-row xxhash64 of
+    the key columns; XOR is associative/commutative, so XOR-ing the
+    partition digests yields a PARTITIONING-INVARIANT whole-stage digest —
+    two runs of the same input at any parallelism produce the same value.
+    The manifest is partition-count-sized, so the driver-side fold is
+    bounded."""
+    m = read_manifest(spark, run_dir, stage) \
+        .select("row_count", "digest_xxh64").collect()
+    digest = 0
+    rows = 0
+    for r in m:
+        rows += r.row_count
+        digest ^= int(r.digest_xxh64, 16)
+    return rows, digest
+
+
+def verify_stage_digests(spark: SparkSession, run_dir_a: str, run_dir_b: str,
+                         stages: list[str]) -> dict[str, dict]:
+    """Cross-run verification (the A4 progress/metrics contract made
+    actionable): for each stage, compare row counts and partitioning-
+    invariant global digests between two run dirs — the check a 100 TB
+    operator runs after a migration, a Spark upgrade, or a cluster resize
+    to prove the output is row-identical without shuffling a single data
+    row (manifests only)."""
+    out: dict[str, dict] = {}
+    for st in stages:
+        ra, da = stage_global_digest(spark, run_dir_a, st)
+        rb, db = stage_global_digest(spark, run_dir_b, st)
+        out[st] = {"rows_a": ra, "rows_b": rb,
+                   "digest_a": f"{da:016x}", "digest_b": f"{db:016x}",
+                   "match": ra == rb and da == db}
+    return out

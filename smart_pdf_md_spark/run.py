@@ -64,6 +64,25 @@ def main(argv: list[str] | None = None) -> int:
                          "corpora; costs a full content shuffle, so the "
                          "shuffle-free direct path stays the default "
                          "(measurements: BENCH/BASELINE.md)")
+    ap.add_argument("--mode", choices=("kg", "curate"), default="kg",
+                    help="kg (default): triple extraction pipeline; "
+                         "curate: staged training-data curation over a "
+                         "documents parquet (scrub → score/filter → "
+                         "optional decontamination → dedup → chunk), same "
+                         "commit/resume protocol")
+    ap.add_argument("--docs", help="[curate] documents parquet "
+                                   "(doc_id, text, lang)")
+    ap.add_argument("--benchmarks", help="[curate] benchmark parquet with a "
+                                         "text column; enables the "
+                                         "decontamination stage")
+    ap.add_argument("--quality-min", type=float, default=0.3)
+    ap.add_argument("--dup-line-max", type=float, default=0.5)
+    ap.add_argument("--dup-ngram-max", type=float, default=0.8,
+                    help="[curate] Gopher duplicate-3-gram cut; pass a "
+                         "value >= 1 to disable")
+    ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--chunk-tokens", type=int, default=100)
+    ap.add_argument("--chunk-overlap", type=int, default=20)
     ap.add_argument("--dry-run", action="store_true",
                     help="build + explain the plan, execute nothing (R5)")
     ap.add_argument("--summary-json", help="write run summary JSON here")
@@ -114,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
     args.link_threshold = rc_cfg.link_threshold
     args.dry_run = args.dry_run or rc_cfg.dry_run
     args.engine = rc_cfg.engine
+
+    if args.mode == "curate":
+        if not args.docs or not args.run_dir:
+            ap.print_usage(sys.stderr)
+            return 2
+        return _run_curate(args)
 
     if (not args.corpus and not args.corpus_size) or not args.run_dir:
         ap.print_usage(sys.stderr)
@@ -190,6 +215,38 @@ def main(argv: list[str] | None = None) -> int:
         if s.total == 0:
             return 1
         return int(s.first_nonzero_rc) if s.failures else 0
+    finally:
+        spark.stop()
+
+
+def _run_curate(args) -> int:
+    """`--mode curate`: the staged curation pipeline as a CLI run.
+    Exit codes keep the reference contract shape: 0 ok · 1 no input docs ·
+    2 usage (handled by the caller)."""
+    from .plans.curation import run_curation
+    from .session import build_session
+
+    spark = build_session(app_name="curate-run", master=args.master)
+    t0 = time.perf_counter()
+    try:
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmarks) if args.benchmarks else None
+        dup_ngram = args.dup_ngram_max if args.dup_ngram_max < 1 else None
+        res = run_curation(
+            spark, docs, args.run_dir,
+            quality_min=args.quality_min, dup_line_max=args.dup_line_max,
+            dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
+            benchmarks=bench, chunk_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap)
+        if args.out:
+            res["chunks"].write.mode("overwrite").parquet(args.out)
+        payload = {**res["summary"], "resumed": res["resumed"],
+                   "elapsed_sec": round(time.perf_counter() - t0, 3)}
+        print(json.dumps(payload))
+        if args.summary_json:
+            with open(args.summary_json, "w") as f:
+                json.dump(payload, f)
+        return 0 if payload["docs_in"] else 1
     finally:
         spark.stop()
 

@@ -217,3 +217,51 @@ def test_runlog_never_raises(tmp_path):
         JsonRunLog(str(d / "run.log")).log("msg")  # no raise
     finally:
         d.chmod(os_mode)
+
+
+def test_curate_cli_mode(tmp_path):
+    """`--mode curate` runs the staged curation pipeline from the CLI:
+    summary JSON on stdout, chunks parquet at --out, resumable run_dir,
+    rc 0; missing --docs is a usage error (rc 2)."""
+    import json as _json
+
+    import pandas as pd
+
+    docs = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the day on the hill was long and the story of it was "
+                 "told in the end by all of them " + " ".join(
+                     f"w{i}" for i in range(40)),
+                 "?!:;", ""],
+        "lang": ["en", "en", "en"],
+    }).to_parquet(docs, index=False)
+
+    base = [sys.executable, "-m", "smart_pdf_md_spark.run",
+            "--mode", "curate", "--master", "local[2]", "--no-env-warnings"]
+    out = tmp_path / "chunks.parquet"
+    r = subprocess.run(
+        base + ["--docs", str(docs), "--run-dir", str(tmp_path / "cur"),
+                "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    # the pure-punct doc drops on quality; the empty doc scores exactly 0.3
+    # (len/stopword terms 0, punct term grants 0.3) and survives the filter
+    # — it just yields no chunks
+    assert payload["docs_in"] == 3 and payload["after_filter"] == 2
+    assert payload["chunks"] >= 1 and out.exists()
+    assert not any(payload["resumed"].values())
+
+    # rerun resumes every committed stage
+    r2 = subprocess.run(
+        base + ["--docs", str(docs), "--run-dir", str(tmp_path / "cur")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    p2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(p2["resumed"].values())
+
+    # usage error: no --docs
+    r3 = subprocess.run(
+        base + ["--run-dir", str(tmp_path / "cur2")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r3.returncode == 2

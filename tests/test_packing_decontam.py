@@ -203,3 +203,56 @@ def test_pack_sequences_rejects_bad_budget(spark):
         "doc_id long, chunk_idx int, chunk_text string, chunk_len int")
     with pytest.raises(ValueError, match="budget_tokens"):
         TS.pack_sequences(chunks, budget_tokens=0)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """weighted_sample keeps ~weight fraction per weight level, the
+    decision is partitioning-invariant, weight 1 keeps everything,
+    weight 0 nothing, and out-of-range weights clamp."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float((i % 4)) / 3.0) for i in range(4000)]  # w ∈ {0,⅓,⅔,1}
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = TS.weighted_sample(df, F.col("w"))
+    frac = {r.w: r.n / 1000 for r in
+            kept.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert 0.0 not in frac                      # weight 0 → nothing kept
+    assert frac[1.0] == 1.0                    # weight 1 → everything
+    assert abs(frac[1 / 3] - 1 / 3) < 0.05 and abs(frac[2 / 3] - 2 / 3) < 0.05
+
+    a = {r.doc_id for r in TS.weighted_sample(
+        df.repartition(1), F.col("w")).collect()}
+    b = {r.doc_id for r in TS.weighted_sample(
+        df.repartition(16), F.col("w")).collect()}
+    assert a == b                              # pure function of the row
+
+    clamped = TS.weighted_sample(df, F.col("w") * 10 - 3)  # out of [0,1]
+    assert clamped.filter("w = 1.0").count() == 1000  # clamps to 1, keeps all
+
+
+def test_verify_stage_digests_partitioning_invariant(spark, tmp_path):
+    """Cross-run manifest verification: the same rows committed at 1-way
+    and 8-way partitioning produce IDENTICAL global digests (XOR folds over
+    partitions), and a one-row difference is detected — without reading a
+    single data row."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.plans.manifests import (
+        commit_stage,
+        verify_stage_digests,
+    )
+
+    df = spark.range(500).select(
+        F.concat(F.lit("f"), "id").alias("file_id"),
+        (F.col("id") * 7).alias("val"))
+    ra, rb, rc_ = (str(tmp_path / d) for d in ("a", "b", "c"))
+    commit_stage(df.repartition(1), ra, "triples", ["file_id", "val"])
+    commit_stage(df.repartition(8), rb, "triples", ["file_id", "val"])
+    commit_stage(df.filter("id <> 250"), rc_, "triples", ["file_id", "val"])
+
+    same = verify_stage_digests(spark, ra, rb, ["triples"])["triples"]
+    assert same["match"] and same["rows_a"] == same["rows_b"] == 500
+    assert same["digest_a"] == same["digest_b"]
+
+    diff = verify_stage_digests(spark, ra, rc_, ["triples"])["triples"]
+    assert not diff["match"] and diff["rows_b"] == 499
