@@ -46,6 +46,9 @@ HEADLINE = [
     "j7_asof_join",
     "g1_two_hop",
     "agg_cube",
+    # r5 board additions — tracked per-round like the rest
+    "repetition_stats",
+    "triangle_count",
 ]
 
 

@@ -219,6 +219,7 @@ def test_runlog_never_raises(tmp_path):
         d.chmod(os_mode)
 
 
+@pytest.mark.slow
 def test_curate_cli_mode(tmp_path):
     """`--mode curate` runs the staged curation pipeline from the CLI:
     summary JSON on stdout, chunks parquet at --out, resumable run_dir,

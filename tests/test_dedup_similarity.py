@@ -232,6 +232,7 @@ def test_local_link_path_reports_hot_bucket_drops(spark):
                                  "dropped_band_rows": N_BANDS * len(hot)}
 
 
+@pytest.mark.slow
 def test_embedding_cosine_cartesian_guard(spark):
     """The O(n²) exact baseline refuses inputs above max_rows (r2 VERDICT
     item 2) with a pointer to the LSH scale path; raising the bound or

@@ -56,7 +56,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
+# The heaviest rows-only entries run slow-marked: the ORACLE pairs are the
+# parity gate the default selection must keep (r4 VERDICT #8); rows-only
+# queries only prove "runs + canonicalizes", which the driver's own sweep
+# exercises every round anyway. One light rows-only smoke per family stays.
+_SLOW_ROWS_ONLY = {"curation_chunks", "ann_topk_ivf", "ann_topk_lsh"}
+ROWS_ONLY = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ROWS_ONLY else n
+    for n in sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

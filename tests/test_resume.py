@@ -55,6 +55,7 @@ def test_killed_run_resumes_without_recompute(spark, corpus_sdf, run_dir):
     assert stage_committed(run_dir, "triples_canonical")
 
 
+@pytest.mark.slow
 def test_uncommitted_stage_recomputes(spark, corpus_sdf, run_dir):
     """Kill BETWEEN data write and marker write → stage must recompute."""
     run_kg(spark, corpus_sdf, run_dir)
@@ -215,6 +216,7 @@ def _make_legacy_snapshot(spark, run_dir: str, stage: str, rows) -> None:
         f.write("legacyrun")
 
 
+@pytest.mark.slow
 def test_append_over_legacy_snapshot_keeps_all_rows(spark, run_dir):
     """ADVICE r2 (medium): mode='append' over a legacy-format snapshot must
     NOT truncate to the new batch — the 10 legacy rows survive the append of
@@ -405,6 +407,7 @@ def test_pre_r3_run_dir_resumes_with_backfill(spark, corpus_sdf, run_dir):
         sorted(map(tuple, fresh.collect()))
 
 
+@pytest.mark.slow
 def test_runlog_edges_stage_carries_drop_metrics(spark, corpus_sdf, run_dir,
                                                  tmp_path):
     """The linking hot-bucket drop counters must reach the machine-readable
