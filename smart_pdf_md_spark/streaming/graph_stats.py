@@ -119,3 +119,44 @@ def streaming_degrees(spark: SparkSession, run_dir: str, stream: DataFrame,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_CC = "cc_labels"
+
+
+def update_cc_state(spark: SparkSession, run_dir: str,
+                    batch_edges: DataFrame) -> DataFrame:
+    """Incremental connected components — streaming entity canonicalization:
+    maintain (name, component=min name) labels as edge batches arrive,
+    without ever re-reading past edges.
+
+    STAR COMPRESSION: the committed labels are a spanning star forest of
+    everything seen so far (every name points at its component root), and a
+    star forest connects exactly the same components as the full edge
+    history. So each batch runs plain CC over (label star edges ∪ new batch
+    edges) — transitively identical to CC over ALL edges ever seen, at
+    O(state + batch) cost with star diameter ≤ 2, so the fixpoint converges
+    in a couple of rounds regardless of how long the deployment has run.
+    Min-label roots are stable: min(merged set) = min of the mins.
+
+    One OVERWRITE commit per batch (labels double as the seen-name roster:
+    isolated names keep component = self), so unlike the two-stage degree
+    path there is no torn-commit window, and redelivery is idempotent —
+    re-adding edges the labels already encode changes nothing."""
+    from ..operators.cc import connected_components
+
+    batch = batch_edges.select("name_a", "name_b").distinct()
+    roster = batch.select(F.col("name_a").alias("name")).union(
+        batch.select(F.col("name_b").alias("name"))).distinct()
+    edges = batch
+    if stage_committed(run_dir, _CC):
+        prev = read_stage(spark, run_dir, _CC)
+        star = prev.filter(F.col("name") != F.col("component")).select(
+            F.col("component").alias("name_a"), F.col("name").alias("name_b"))
+        edges = edges.unionByName(star)
+        roster = roster.union(prev.select("name")).distinct()
+    labels = connected_components(edges)
+    out = (roster.join(labels, "name", "left")
+           .select("name",
+                   F.coalesce("component", F.col("name")).alias("component")))
+    return commit_stage(out, run_dir, _CC, ["name", "component"])
