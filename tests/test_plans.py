@@ -176,3 +176,40 @@ def test_ngram_jaccard_plan_parallel_and_capped(spark):
     p = _plan(em.queries()["dedup_ngram_jaccard"](spark, SF))
     assert "hashpartitioning(shingle" in p
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """BM25's scale shape: the query-term and restricted-df joins broadcast
+    (scoring touches only query-term postings), and the corpus stats ride
+    as a broadcast one-row frame — no SortMerge against the tf table for
+    any of the small sides, no driver collect in the plan build."""
+    from smart_pdf_md_spark.operators.retrieval import bm25_topk
+    from smart_pdf_md_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    queries = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], ["query_id", "query"])
+    p = _plan(bm25_topk(docs, queries, k=5))
+    assert p.count("BroadcastHashJoin") >= 2  # qterms join + restricted df
+    assert "BroadcastNestedLoopJoin" in p or "Broadcast" in p  # stats row
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """Decontamination at 100 TB: the benchmark shingle set must BROADCAST
+    (the corpus stream never shuffles for the probe); the only Exchange
+    feeds the hits-sized per-doc count and the final left join."""
+    from smart_pdf_md_spark.operators.dedup import decontaminate
+    from smart_pdf_md_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"b{i}" for i in range(20)))], ["bench_id", "text"])
+    p = _plan(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # corpus-side shingling rides the scan: no Exchange between the parquet
+    # scan of documents and the broadcast probe join (the first Exchange in
+    # the plan feeds the per-doc aggregation, not the probe)
+    probe = p.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in probe
