@@ -327,23 +327,20 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame,
                     .alias("is_keeper")))
 
 
-def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        threshold: float = 0.7) -> DataFrame:
-    """MinHash+LSH near-dup candidates rescored by exact Jaccard — the scale
-    path (signatures are one Arrow pass; banding bounds the join).
-
-    Reuses the linking minhash over token 3-gram shingle strings by hashing
-    each document's shingle set instead of a name's char-ngrams.
+def minhash_doc_signatures(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>) MinHash signatures over token 3-gram shingles
+    — one Arrow pass; the storable/reusable half of `minhash_dedup_pairs`
+    (incremental curation persists these so a new batch can band-join
+    against EVERYTHING seen without re-reading old text).
 
     Sub-n-token rule (r4 VERDICT "what's wrong" #1): documents with fewer
-    than 3 tokens — including the empty string — have NO 3-gram shingles, so
-    they get a null signature and appear in no pairs, exactly matching
+    than 3 tokens — including the empty string — have NO 3-gram shingles,
+    so they get a null signature and appear in no pairs, exactly matching
     `_shingles`' exclusion in the exact operator. The r4 formulation gave
     them one degenerate short gram, so two empty docs scored
-    est_jaccard = 1.0 while the exact operator emitted nothing — and
-    run_curation's dedup stage would have silently clustered empty docs."""
-    from .linking import _A, _B, _MERSENNE, N_BANDS, N_PERM
+    est_jaccard = 1.0 while the exact operator emitted nothing."""
+    from .linking import _A, _B, _MERSENNE
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def doc_sig(texts: pd.Series) -> pd.Series:
@@ -362,19 +359,43 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             out.append(perm.min(axis=0).tolist())
         return pd.Series(out)
 
-    r = N_PERM // N_BANDS
-    sigs = df.select(F.col(id_col).alias("id"),
+    return df.select(F.col(id_col).alias("id"),
                      doc_sig(F.col(text_col)).alias("sig")) \
              .filter(F.col("sig").isNotNull())
-    bands = sigs.select(
+
+
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    from .linking import N_BANDS, N_PERM
+    r = N_PERM // N_BANDS
+    return sigs.select(
         "id", "sig",
-        F.posexplode(F.array(*[F.slice("sig", i * r + 1, r) for i in range(N_BANDS)]))
+        F.posexplode(F.array(*[F.slice("sig", i * r + 1, r)
+                               for i in range(N_BANDS)]))
         .alias("band", "band_sig"),
-    ).withColumn("band_hash", F.xxhash64("band", "band_sig")).select("id", "sig", "band", "band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
+    ).withColumn("band_hash", F.xxhash64("band", "band_sig")) \
+     .select("id", "sig", "band", "band_hash")
+
+
+def minhash_pairs_from_signatures(sigs_probe: DataFrame, sigs_all: DataFrame,
+                                  threshold: float = 0.7,
+                                  self_join: bool = False) -> DataFrame:
+    """Banded candidate pairs between a PROBE signature set and the full
+    set (probe ⊆ all for self-dedup; probe = the new batch for incremental
+    dedup), rescored by estimated Jaccard (matching-slot fraction). Pairs
+    are emitted min-id-first and deduped; self-pairs excluded. The join is
+    a plain equi-shuffle on (band, band_hash) — the banding bound holds no
+    matter how large `sigs_all` grows. ``self_join=True`` (probe IS all)
+    prunes to a.id < b.id pre-dedup — each unordered pair appears in both
+    orders there, so the ordered half is complete and half the size."""
+    from .linking import N_PERM
+
+    a, b = _sig_bands(sigs_probe).alias("a"), _sig_bands(sigs_all).alias("b")
+    cond = F.col("a.id") < F.col("b.id") if self_join \
+        else F.col("a.id") != F.col("b.id")
     cand = (a.join(b, ["band", "band_hash"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            .filter(cond)
+            .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
             .dropDuplicates(["id_a", "id_b"]))
     # estimated Jaccard = fraction of matching signature slots
@@ -386,6 +407,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("est_jaccard", F.round(est / F.lit(N_PERM), 4))
             .filter(F.col("est_jaccard") >= threshold)
             .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.7) -> DataFrame:
+    """MinHash+LSH near-dup candidates rescored by exact Jaccard — the scale
+    path (signatures are one Arrow pass; banding bounds the join). The
+    composition of :func:`minhash_doc_signatures` and
+    :func:`minhash_pairs_from_signatures` over one document set.
+
+    Reuses the linking minhash over token 3-gram shingle strings by hashing
+    each document's shingle set instead of a name's char-ngrams."""
+    sigs = minhash_doc_signatures(df, text_col, id_col)
+    return minhash_pairs_from_signatures(sigs, sigs, threshold,
+                                         self_join=True)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",

@@ -1,0 +1,192 @@
+"""Append-only incremental curation — the daily-crawl shape of
+plans/curation.run_curation: document batches arrive forever; each batch is
+scrubbed, scored, filtered, deduplicated AGAINST EVERYTHING EVER KEPT, and
+chunked — without reprocessing or re-reading any previous batch's text.
+
+State, all through plans/manifests (same Iceberg-shaped commit layer):
+
+    cur_filtered   one row per QUALITY-PASSING doc ever seen: scrubbed
+                   text digest, scores, and its MinHash signature (the
+                   reusable probe target — new batches band-join against
+                   these, so dedup cost is O(batch × collision rate),
+                   never O(history)).
+    cc_labels      near-dup cluster labels via streaming/graph_stats.
+                   update_cc_state star compression — transitively exact
+                   across batches (a new doc that bridges two old clusters
+                   merges them).
+    cur_kept       doc_ids admitted to the corpus (append-only).
+    cur_chunks     their training chunks (append-only).
+    cur_processed  batch completion roster — appended LAST, so a crash
+                   mid-batch reprocesses the batch and the intermediate
+                   appends are made idempotent by anti-joins.
+
+Keeper semantics differ DELIBERATELY from the batch pipeline: committed
+outputs are immutable, so FIRST-SEEN WINS — a later near-duplicate is
+dropped even if its id is smaller (the batch pipeline's global-min-id
+keeper would retract an already-published doc, which an append-only sink
+cannot express). Within one batch, new clusters keep their min id. Two
+previously-kept docs whose clusters are MERGED by a bridging newcomer both
+stay kept (no retraction); the invariant maintained is "no batch ever ADDS
+a near-duplicate of anything already kept", not "the final corpus is a
+re-clustered minimum".
+
+Sub-3-token docs have no MinHash signature (operators/dedup.py rule);
+byte-identical ones still dedupe through the exact content-hash channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    minhash_doc_signatures,
+    minhash_pairs_from_signatures,
+)
+from ..operators.textstats import (
+    chunk_documents,
+    quality_cols,
+    repetition_cols,
+    scrub_text,
+    token_count_cols,
+)
+from ..streaming.graph_stats import update_cc_state
+from .manifests import commit_stage, read_stage, stage_committed
+
+_FILTERED, _KEPT, _CHUNKS, _DONE = ("cur_filtered", "cur_kept",
+                                    "cur_chunks", "cur_processed")
+
+
+def curate_append(
+    spark: SparkSession,
+    docs: DataFrame,
+    run_dir: str,
+    quality_min: float = 0.3,
+    dup_line_max: float = 0.5,
+    dup_ngram_max: float | None = 0.8,
+    dedup_threshold: float = 0.9,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> dict:
+    """Process one batch of docs(doc_id, text, lang); returns exact batch
+    accounting plus the cumulative kept/chunk counts. Idempotent: docs in
+    a committed batch are skipped entirely; a crash mid-batch reprocesses
+    only that batch (intermediate appends anti-join their stages)."""
+    batch_in = docs.count()
+    pending = docs.select("doc_id", "text", "lang")
+    if stage_committed(run_dir, _DONE):
+        pending = pending.join(read_stage(spark, run_dir, _DONE),
+                               "doc_id", "left_anti")
+    pending = pending.localCheckpoint(eager=True)
+    n_pending = pending.count()
+
+    summary = {"batch_in": batch_in, "batch_new": n_pending,
+               "batch_passed": 0, "batch_kept": 0}
+    if n_pending == 0:
+        return _finish(spark, run_dir, summary, pending)
+
+    # scrub + score in one scan-side select (the batch analogue of
+    # run_curation's filter stage)
+    scrubbed = pending.drop("text").join(
+        scrub_text(pending).select(
+            "doc_id", F.col("text_scrubbed").alias("text")), "doc_id")
+    text = F.col("text")
+    keep = (quality_cols(text)["quality"] >= quality_min) & \
+        (repetition_cols(text)["dup_line_ratio"] <= dup_line_max)
+    if dup_ngram_max is not None:
+        keep = keep & (repetition_cols(text)["dup_ngram_ratio"] <= dup_ngram_max)
+    scored = scrubbed.select(
+        "doc_id", "text", "lang",
+        F.sha2(text, 256).alias("content_hash"),
+        token_count_cols(text)["n_tokens"].alias("n_tokens"),
+        keep.alias("passed"))
+    passed = scored.filter("passed")
+
+    sigs_new = minhash_doc_signatures(passed)
+    new_filtered = (passed.join(
+        sigs_new.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left")
+        .select("doc_id", "text", "lang", "content_hash", "n_tokens", "sig")
+        .localCheckpoint(eager=True))
+    summary["batch_passed"] = new_filtered.count()
+
+    prev_filtered = (read_stage(spark, run_dir, _FILTERED)
+                     if stage_committed(run_dir, _FILTERED) else None)
+
+    # near-dup channel: new sigs vs (history ∪ batch) signatures
+    sigs_batch = new_filtered.filter("sig is not null") \
+        .select(F.col("doc_id").alias("id"), "sig")
+    sigs_all = sigs_batch if prev_filtered is None else sigs_batch.unionByName(
+        prev_filtered.filter("sig is not null")
+        .select(F.col("doc_id").alias("id"), "sig"))
+    pairs = minhash_pairs_from_signatures(sigs_batch, sigs_all,
+                                          dedup_threshold) \
+        .select("id_a", "id_b")
+    # exact channel: byte-identical content (covers sub-3-token docs too)
+    hash_all = new_filtered.select("doc_id", "content_hash") if prev_filtered \
+        is None else new_filtered.select("doc_id", "content_hash").unionByName(
+        prev_filtered.select("doc_id", "content_hash"))
+    exact = (new_filtered.select(F.col("doc_id").alias("na"), "content_hash")
+             .join(hash_all.withColumnsRenamed({"doc_id": "nb"}),
+                   "content_hash")
+             .filter(F.col("na") != F.col("nb"))
+             .select(F.least("na", "nb").alias("id_a"),
+                     F.greatest("na", "nb").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    all_pairs = pairs.unionByName(exact).dropDuplicates(["id_a", "id_b"]) \
+        .select(F.col("id_a").cast("string").alias("name_a"),
+                F.col("id_b").cast("string").alias("name_b"))
+
+    labels = update_cc_state(spark, run_dir, all_pairs)
+
+    # keeper decision: first-seen wins — a batch doc is kept iff its
+    # cluster holds NO committed kept doc; among batch contenders for a
+    # fresh cluster, min id wins (matching the batch pipeline locally)
+    id_type = docs.schema["doc_id"].dataType
+    cand = (new_filtered.select(
+        F.col("doc_id"), F.col("doc_id").cast("string").alias("name"))
+        .join(labels, "name", "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("name")).alias("_comp")))
+    if stage_committed(run_dir, _KEPT):
+        kept_prev = read_stage(spark, run_dir, _KEPT) \
+            .select(F.col("doc_id").cast("string").alias("name"))
+        blocked = (kept_prev.join(labels, "name", "left")
+                   .select(F.coalesce("component", F.col("name"))
+                           .alias("_comp")).distinct())
+        cand = cand.join(blocked, "_comp", "left_anti")
+    winners = (cand.groupBy("_comp")
+               .agg(F.min(F.col("doc_id").cast(id_type)).alias("doc_id"))
+               .select("doc_id"))
+
+    new_kept = new_filtered.join(winners, "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    summary["batch_kept"] = new_kept.count()
+
+    # idempotent appends (a torn previous run may have committed a prefix)
+    def _append_new(df: DataFrame, stage: str, key_cols: list[str]) -> None:
+        if stage_committed(run_dir, stage):
+            df = df.join(read_stage(spark, run_dir, stage).select("doc_id")
+                         .distinct(), "doc_id", "left_anti")
+        commit_stage(df, run_dir, stage, key_cols,
+                     mode="append" if stage_committed(run_dir, stage)
+                     else "overwrite")
+
+    _append_new(new_filtered, _FILTERED, ["doc_id"])
+    _append_new(new_kept.select("doc_id", "lang"), _KEPT, ["doc_id"])
+    _append_new(chunk_documents(new_kept, chunk_tokens=chunk_tokens,
+                                overlap=overlap),
+                _CHUNKS, ["doc_id", "chunk_idx"])
+    return _finish(spark, run_dir, summary, pending.select("doc_id"))
+
+
+def _finish(spark: SparkSession, run_dir: str, summary: dict,
+            processed: DataFrame) -> dict:
+    if summary["batch_new"]:
+        commit_stage(processed.select("doc_id"), run_dir, _DONE, ["doc_id"],
+                     mode="append" if stage_committed(run_dir, _DONE)
+                     else "overwrite")
+    out = dict(summary)
+    for stage, key in ((_KEPT, "total_kept"), (_CHUNKS, "total_chunks")):
+        out[key] = (read_stage(spark, run_dir, stage).count()
+                    if stage_committed(run_dir, stage) else 0)
+    return out

@@ -1,0 +1,92 @@
+"""Append-only incremental curation: cross-batch dedup, first-seen-wins
+keepers, exact-channel short docs, batch idempotence."""
+
+from __future__ import annotations
+
+import pytest
+
+from smart_pdf_md_spark.plans.curation_incremental import curate_append
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _good(tag: str, n: int = 60) -> str:
+    """Quality-passing distinctive text."""
+    return ("the story of it is on a hill and for the day it was good "
+            + " ".join(f"{tag}{i}" for i in range(n)))
+
+
+def test_incremental_curation_cross_batch_dedup(spark, tmp_path):
+    run_dir = str(tmp_path / "inc")
+
+    # batch 1: two distinct good docs + one junk doc
+    b1 = _docs(spark, [(10, _good("a"), "en"),
+                       (11, _good("b"), "en"),
+                       (12, "?!:; ?!:;", "en")])
+    s1 = curate_append(spark, b1, run_dir)
+    assert s1["batch_in"] == 3 and s1["batch_new"] == 3
+    assert s1["batch_passed"] == 2 and s1["batch_kept"] == 2
+    assert s1["total_kept"] == 2 and s1["total_chunks"] >= 2
+
+    # batch 2: a near-duplicate of doc 10 (SMALLER id — first-seen still
+    # wins), an exact duplicate of doc 11, and one genuinely new doc
+    near_dup_of_a = _good("a").replace(" a3 ", " zz3 ")  # one-token edit
+    b2 = _docs(spark, [(5, near_dup_of_a, "en"),
+                       (20, _good("b"), "en"),
+                       (21, _good("c"), "en")])
+    s2 = curate_append(spark, b2, run_dir)
+    assert s2["batch_new"] == 3 and s2["batch_passed"] == 3
+    assert s2["batch_kept"] == 1          # only doc 21 is new content
+    assert s2["total_kept"] == 3
+
+    from smart_pdf_md_spark.plans.manifests import read_stage
+    kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
+    assert kept == {10, 11, 21}           # doc 5 did NOT displace doc 10
+
+    # batch 3: redelivery of batch 2 is a complete no-op
+    s3 = curate_append(spark, b2, run_dir)
+    assert s3["batch_new"] == 0 and s3["batch_kept"] == 0
+    assert s3["total_kept"] == 3 and s3["total_chunks"] == s2["total_chunks"]
+
+
+@pytest.mark.slow
+def test_incremental_curation_exact_channel_short_docs(spark, tmp_path):
+    """Sub-3-token docs have no MinHash signature; byte-identical ones must
+    still dedupe across batches through the content-hash channel."""
+    run_dir = str(tmp_path / "inc")
+    # two-token docs pass quality? punct term grants 0.3 when punct_ratio
+    # is low and stopwords present — 'the end' scores >= 0.3
+    s1 = curate_append(spark, _docs(spark, [(1, "the end", "en")]), run_dir)
+    assert s1["batch_kept"] == 1
+    s2 = curate_append(spark, _docs(spark, [(2, "the end", "en"),
+                                            (3, "the start", "en")]), run_dir)
+    assert s2["batch_kept"] == 1          # doc 2 exact-dups doc 1; 3 is new
+
+    from smart_pdf_md_spark.plans.manifests import read_stage
+    kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
+    assert kept == {1, 3}
+
+
+@pytest.mark.slow
+def test_incremental_matches_batch_pipeline_on_fresh_corpus(spark, tmp_path):
+    """One curate_append over a whole corpus keeps the same DOCUMENTS as
+    run_curation (keeper IDs may differ only when a cluster's min id is not
+    its first-seen — here ids arrive in order, so the sets coincide)."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    rows = [(i, _good(f"t{i}"), "en") for i in range(6)]
+    rows.append((6, _good("t0"), "en"))       # exact dup of doc 0
+    rows.append((7, "?!:;", "en"))            # junk
+    docs = _docs(spark, rows)
+
+    inc = curate_append(spark, docs, str(tmp_path / "inc"))
+    full = run_curation(spark, docs, str(tmp_path / "batch"))
+
+    from smart_pdf_md_spark.plans.manifests import read_stage
+    inc_kept = {r.doc_id for r in
+                read_stage(spark, str(tmp_path / "inc"), "cur_kept").collect()}
+    batch_kept = {r.doc_id for r in full["kept"].select("doc_id").collect()}
+    assert inc_kept == batch_kept
+    assert inc["total_kept"] == full["summary"]["after_dedup"]
