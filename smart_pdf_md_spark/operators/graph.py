@@ -127,6 +127,14 @@ def triangle_count(triples: DataFrame, pred: str | None = None) -> DataFrame:
                     F.greatest("subj", "obj").alias("v"))
            .filter(F.col("u") != F.col("v"))
            .distinct())
+    return _triangles(und).agg(F.count("*").alias("n_triangles"))
+
+
+def _triangles(und: DataFrame) -> DataFrame:
+    """(x, y, z) — every triangle of the canonical (u<v) undirected edge
+    set EXACTLY ONCE, via the degree-ordered orientation (see
+    triangle_count's docstring for the O(√m) wedge-fanout argument).
+    Shared by triangle_count (one agg) and k_truss (per-edge support)."""
     deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count("*").alias("deg")))
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
@@ -141,9 +149,59 @@ def triangle_count(triples: DataFrame, pred: str | None = None) -> DataFrame:
     wedges = (a.join(b, F.col("a.dst") == F.col("b.src"))
               .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"),
                       F.col("b.dst").alias("z")))
-    closed = wedges.join(
-        c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")))
-    return closed.agg(F.count("*").alias("n_triangles"))
+    return wedges.join(
+        c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst"))) \
+        .select("x", "y", "z")
+
+
+def k_truss(triples: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Edges of the k-truss → (u, v, support): the maximal subgraph where
+    every edge participates in ≥ k−2 triangles (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis") — the edge-level
+    cohesion peel to k_core's node-level one; a planted K₅ survives the
+    5-truss while chains and stars dissolve. Support is reported within
+    the final truss.
+
+    Driver-fixpoint peeling like k_core: each round enumerates triangles
+    over the surviving edges with the degree-ordered O(√m) wedge join
+    (`_triangles`), drops edges under support, and re-checks — the
+    vocabulary-sized survivors checkpoint per round, the corpus-sized
+    original edge set is read once into the first round's lazy plan."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur = (triples.select(F.least("subj", "obj").alias("u"),
+                          F.greatest("subj", "obj").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint(eager=True))
+    need = k - 2
+    if need == 0:
+        # every edge is trivially a 2-truss; report its (unpeeled) support
+        tri = _triangles(cur)
+        support = (tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+                   .unionAll(tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")))
+                   .unionAll(tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")))
+                   .groupBy("u", "v").agg(F.count("*").alias("support")))
+        return (cur.join(support, ["u", "v"], "left")
+                .select("u", "v", F.coalesce("support", F.lit(0)).alias("support")))
+    for _ in range(max_iter):
+        tri = _triangles(cur)
+        # each triangle supports its three edges; x/y/z carry the
+        # degree-orientation's order, so every projection re-canonicalizes
+        # to u<v before counting
+        edges_of = [
+            tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")),
+            tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")),
+            tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")),
+        ]
+        support = (edges_of[0].unionAll(edges_of[1]).unionAll(edges_of[2])
+                   .groupBy("u", "v").agg(F.count("*").alias("support")))
+        keep = support.filter(F.col("support") >= need) \
+            .localCheckpoint(eager=True)
+        n_dropped = cur.count() - keep.count()
+        cur = keep.select("u", "v").localCheckpoint(eager=True)
+        if n_dropped == 0:
+            return keep
+    return keep  # max_iter cap: conservative (possibly un-peeled) truss
 
 
 def _edge_set(triples: DataFrame, undirected: bool = False) -> DataFrame:

@@ -256,3 +256,43 @@ def test_verify_stage_digests_partitioning_invariant(spark, tmp_path):
 
     diff = verify_stage_digests(spark, ra, rc_, ["triples"])["triples"]
     assert not diff["match"] and diff["rows_b"] == 499
+
+
+def _py_k_truss(edge_list, k):
+    """Reference peeling in plain Python: support = common-neighbor count."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        adj: dict[str, set[str]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        support = {(u, v): len(adj[u] & adj[v]) for u, v in edges}
+        drop = {e for e, s in support.items() if s < k - 2}
+        if not drop:
+            return support
+        edges -= drop
+
+
+@pytest.mark.slow
+def test_k_truss_vs_python_peeling(spark):
+    """k-truss edges AND in-truss supports equal a reference Python peeling
+    on a random graph plus a planted K5 (whose edges each close 3 triangles
+    → it survives the 5-truss while the sparse background dissolves)."""
+    import random
+
+    from smart_pdf_md_spark.operators.graph import k_truss
+
+    rng = random.Random(43)
+    nodes = [f"n{i}" for i in range(30)]
+    edge_list = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)}
+    clique = ["c0", "c1", "c2", "c3", "c4"]
+    edge_list |= {(a, b) for a in clique for b in clique if a < b}
+    df = spark.createDataFrame(
+        [(u, "E", v) for u, v in edge_list], ["subj", "pred", "obj"])
+
+    for k in (2, 3, 4, 5):
+        got = {(r.u, r.v): r.support for r in k_truss(df, k).collect()}
+        assert got == _py_k_truss(edge_list, k), f"k={k}"
+    # the planted K5 is exactly a 5-truss core
+    t5 = _py_k_truss(edge_list, 5)
+    assert {(a, b) for a in clique for b in clique if a < b} <= set(t5)
