@@ -43,6 +43,22 @@ def test_bm25_semantics(spark):
     assert rows[(10, 1)].score >= rows[(10, 2)].score >= rows[(10, 3)].score
 
 
+def test_bm25_prebuilt_index_matches_inline(spark):
+    """Scoring against bm25_index() postings/stats is bit-identical to the
+    inline path — the repeated-query serving mode never re-reads text."""
+    from smart_pdf_md_spark.operators.retrieval import bm25_index
+
+    docs, queries, _, _ = _frames(spark)
+    postings, stats = bm25_index(docs)
+    inline = bm25_topk(docs, queries, k=3).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    indexed = bm25_topk(None, queries, k=3, postings=postings,
+                        corpus_stats=stats).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(inline, indexed)
+
+
 def test_bm25_duckdb_parity(spark):
     """Full-frame parity with an ANSI formulation of the same scoring — the
     operator is deliberately SQL-expressible (board-rotation candidate)."""
