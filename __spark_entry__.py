@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from smart_pdf_md_spark.operators import dedup as D  # noqa: E402
 from smart_pdf_md_spark.operators import multimodal as MM  # noqa: E402
+from smart_pdf_md_spark.operators import retrieval as R  # noqa: E402
 from smart_pdf_md_spark.operators import similarity as SIM  # noqa: E402
 from smart_pdf_md_spark.operators import textstats as TS  # noqa: E402
 from smart_pdf_md_spark.sources.tables import load_table  # noqa: E402
@@ -1104,13 +1105,157 @@ def _curation_chunks(spark, sf):
     # driver surface (r4 VERDICT next-round #7): runs into a fresh tempdir
     # (committed snapshots + manifests exercised every sweep) and returns
     # the chunk table a trainer would consume. Deterministic: id-hash
-    # sampling, min-id keepers, fixed thresholds.
+    # sampling, min-id keepers, fixed thresholds. The chunk table is
+    # checkpointed so the run_dir can be removed immediately (ADVICE r5:
+    # board sweeps were leaking one committed-snapshot dir per invocation).
+    import shutil
     import tempfile
 
     from smart_pdf_md_spark.plans.curation import run_curation
     run_dir = tempfile.mkdtemp(prefix="kg_curation_board_")
-    res = run_curation(spark, _t(spark, sf, "documents"), run_dir)
-    return res["chunks"]
+    try:
+        res = run_curation(spark, _t(spark, sf, "documents"), run_dir)
+        return res["chunks"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def _bm25_topk_q(spark, sf):
+    # hits-sized BM25 (operators/retrieval.py — r5 VERDICT next-round #1):
+    # the query set derives deterministically from the corpus itself (the
+    # first 4 tokens of every 97-stride document), so the board needs no
+    # side table and every query is guaranteed on-vocabulary.
+    docs = _t(spark, sf, "documents")
+    q = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"),
+                                 1, 4)).alias("query"))
+    return R.bm25_topk(docs, q, k=5)
+
+
+_BM25_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), qsrc AS (
+  SELECT doc_id AS query_id, array_to_string(toks[1:4], ' ') AS query
+  FROM base WHERE doc_id % 97 = 3
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+    FROM base WHERE len(toks) > 0)
+  GROUP BY doc_id, dl, term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl
+  FROM base WHERE len(toks) > 0
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT query_id, unnest(list_distinct(
+    CASE WHEN length(trim(query)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(query), '\s+') END)) AS term
+  FROM qsrc
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * (1.2 + 1)) /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+         ) + 1e-9, 4) AS score
+  FROM tf JOIN qterms q USING (term)
+          JOIN dfreq USING (term)
+          CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def _decontaminate_q(spark, sf):
+    # 13-gram benchmark decontamination (operators/dedup.py:decontaminate):
+    # the "benchmark" set derives deterministically from the corpus (every
+    # 83-stride document), so the bench docs themselves flag contaminated
+    # and everything else is clean unless it genuinely shares a 13-gram.
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 83 == 11).select("doc_id", "text")
+    return D.decontaminate(docs, bench)
+
+
+def _gram13_sql(arr: str) -> str:
+    terms = " || ' ' || ".join(f"{arr}[i+{j}]" for j in range(13))
+    return (f"CASE WHEN len({arr}) < 13 THEN []::VARCHAR[] "
+            f"ELSE list_distinct(list_transform(range(1, len({arr}) - 11), "
+            f"i -> {terms})) END")
+
+
+# Spark hashes grams (xxhash64) before probing, the oracle compares STRING
+# grams — equal counts pin that the hashing is semantically invisible.
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+), dg AS (
+  SELECT doc_id, {_gram13_sql('tk')} AS grams FROM toks
+), bg AS (
+  SELECT list_distinct(flatten(list(grams))) AS bgrams FROM dg
+  WHERE doc_id % 83 = 11
+), hit AS (
+  SELECT doc_id AS id, len(grams) AS n_grams,
+         len(list_filter(grams, g -> list_contains(bgrams, g))) AS hit_grams
+  FROM dg CROSS JOIN bg
+)
+SELECT id, n_grams, hit_grams,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE round(hit_grams * 1.0 / n_grams + 1e-9, 4)
+       END AS contamination_ratio,
+       hit_grams > 0 AS contaminated
+FROM hit
+"""
+
+
+def _adaptive_quality_q(spark, sf):
+    # top-frac-per-stratum quality filter (textstats.adaptive_quality_filter
+    # — exact percent_rank, doc_id tie-break, deterministic at any
+    # parallelism).
+    return TS.adaptive_quality_filter(_t(spark, sf, "documents"), frac=0.8)
+
+
+_ADAPTIVE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk,
+         length(text) AS n,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+), q AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         round(0.4 * least(n / 500.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN n = 0 THEN 0.0
+                                 ELSE punct * 1.0 / n END)
+             + 0.3 * CASE WHEN len(tk) = 0 THEN 0.0
+                          ELSE len(list_filter(tk,
+                                   t -> list_contains({_EN_SQL}, lower(t))))
+                               * 1.0 / len(tk) END
+             + 1e-9, 4) AS quality
+  FROM base
+), r AS (
+  SELECT *, round(percent_rank() OVER (PARTITION BY lang
+                                       ORDER BY quality DESC, doc_id)
+                  + 1e-9, 4) AS q_rank
+  FROM q
+)
+SELECT doc_id, text, lang, source, n_chars, quality, q_rank
+FROM r WHERE q_rank <= 0.8
+"""
 
 
 _PAIRS: dict[str, tuple[Callable, str | None]] = {
@@ -1133,9 +1278,7 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
     "agg_cube": (_agg_cube, _CUBE_SQL),
     "agg_median_percentile": (_agg_median, _MEDIAN_SQL),
-    "events_tumbling_window": (_events_tumbling, _TUMBLING_SQL),
     "f1_json_extract": (_f1_json_extract, _F1_SQL),
-    "f2_string_funcs": (_f2_string_funcs, _F2_SQL),
     "j5b_salted_agg": (_j5b_salted_agg, _J5B_SQL),
     "t1_grouped_zscore": (_t1_grouped_zscore, _T1_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
@@ -1157,7 +1300,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "kg_pagerank": (_kg_pagerank, None),
     "dedup_minhash_lsh": (_dedup_minhash, None),
     "ann_topk_lsh": (_ann_lsh, None),
-    "mm_extract_features": (_mm_features, None),
     # r4 board rotation (r3 VERDICT next-round #1): the 50-slot cap forces
     # swaps, not appends — w2_running_sum (window machinery pinned by w1/w3),
     # mm_frame_sample (multimodal scan path pinned by mm_media_meta) and
@@ -1180,6 +1322,16 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "triangle_count": (_triangle_count, _TRIANGLE_SQL),
     "dedup_clusters": (_dedup_clusters_q, None),
     "curation_chunks": (_curation_chunks, None),
+    # r6 board rotation (r5 VERDICT next-round #1/#2) — the 50-slot cap
+    # forces swaps: f2_string_funcs OFF (scalar-function machinery pinned
+    # by f1 + the text_* oracle pairs), events_tumbling_window OFF (the
+    # window/agg family is pinned by w1/w3 + the streaming pytest suite),
+    # mm_extract_features OFF (the multimodal Arrow path is pinned by the
+    # mm_media_meta oracle pair + pytest). IN: the three r5 operators whose
+    # DuckDB parity SQL already existed in tests — now full oracle rows.
+    "bm25_topk": (_bm25_topk_q, _BM25_SQL),
+    "decontaminate": (_decontaminate_q, _DECONTAM_SQL),
+    "adaptive_quality_filter": (_adaptive_quality_q, _ADAPTIVE_SQL),
 }
 
 

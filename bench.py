@@ -34,7 +34,6 @@ HEADLINE = [
     "j4_anti_join",
     "w1_topk_per_group",
     "w3_sessionize",
-    "events_tumbling_window",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -49,6 +48,11 @@ HEADLINE = [
     # r5 board additions — tracked per-round like the rest
     "repetition_stats",
     "triangle_count",
+    # r6 board additions (events_tumbling_window rotated off the board and
+    # out of queries(); its cost class is covered by w3_sessionize)
+    "bm25_topk",
+    "decontaminate",
+    "adaptive_quality_filter",
 ]
 
 
