@@ -149,6 +149,19 @@ SCRUB_PATTERNS = (
 )
 
 
+def scrub_cols(text: Column) -> dict[str, Column]:
+    """The scrub expressions, exposed for composition (see token_count_cols
+    rationale): a pipeline stage that needs the scrubbed text ALONGSIDE
+    other columns builds one select instead of a doc_id self-join to
+    reattach it — the r5 curation formulation shuffled the full document
+    stream twice for exactly that reattachment (r5 VERDICT what's-wrong
+    #2). Branch-free regexp_replace chain (the F.when CSE lesson)."""
+    col = text
+    for rx, token in SCRUB_PATTERNS:
+        col = F.regexp_replace(col, rx, token)
+    return {"text_scrubbed": col, "was_redacted": text != col}
+
+
 def scrub_text(df: DataFrame, text_col: str = "text",
                out_col: str = "text_scrubbed") -> DataFrame:
     """Redact emails / URLs / IPs / card-like digit runs — the standard
@@ -156,13 +169,11 @@ def scrub_text(df: DataFrame, text_col: str = "text",
     scan-side, codegen'd, no Python, no shuffle; patterns chosen to behave
     identically under Java regex (Spark) and RE2 (DuckDB) so the operator
     stays oracle-checkable."""
-    col = F.col(text_col)
-    for rx, token in SCRUB_PATTERNS:
-        col = F.regexp_replace(col, rx, token)
+    cols = scrub_cols(F.col(text_col))
     return df.select(
         "doc_id",
-        col.alias(out_col),
-        (F.col(text_col) != col).alias("was_redacted"),
+        cols["text_scrubbed"].alias(out_col),
+        cols["was_redacted"].alias("was_redacted"),
     )
 
 

@@ -37,6 +37,14 @@ def curation_docs(spark):
     # BENCH_SENTENCE verbatim — the eval-leak fixture
     rows.append((49, "the story of it was that " + BENCH_SENTENCE +
                      " and so the day ended well for all of them", "en"))
+    # token-less docs (r5 VERDICT what's-wrong #5): quality = exactly 0.3
+    # (punct term alone) would clear the 0.3 default — the n_tokens >= 1
+    # gate must drop both, and they must never reach the kept set. (A doc
+    # of spaces + a NEWLINE is out of the gate's scope: trim() strips only
+    # spaces on both engines, so '\n' yields phantom empty tokens — the
+    # oracle-pinned tokenization treats it as a 2-token doc.)
+    rows.append((50, "", "en"))
+    rows.append((51, "     ", "en"))
     return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
 
 
@@ -52,9 +60,9 @@ def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
                        quality_min=0.3, dup_line_max=0.5,
                        dedup_threshold=0.9, benchmarks=bench)
     s = res["summary"]
-    assert s["docs_in"] == 50
-    # low-quality (44) + dup-line (45) + dup-ngram-alone (48) dropped;
-    # everything else survives the filter
+    assert s["docs_in"] == 52
+    # low-quality (44) + dup-line (45) + dup-ngram-alone (48) + the two
+    # token-less docs (50, 51) dropped; everything else survives the filter
     assert s["after_filter"] == 47
     # decontamination drops exactly the planted eval-leak doc (49)
     assert s["after_decontam"] == 46
@@ -62,7 +70,7 @@ def test_curation_accounting_and_stages(spark, curation_docs, tmp_path):
     assert s["after_dedup"] == 42
     kept_ids = {r.doc_id for r in res["kept"].select("doc_id").collect()}
     assert 0 in kept_ids and not ({40, 41, 42, 43} & kept_ids)
-    assert {44, 45, 48, 49}.isdisjoint(kept_ids)
+    assert {44, 45, 48, 49, 50, 51}.isdisjoint(kept_ids)
     assert 49 in {r.doc_id
                   for r in res["filtered"].select("doc_id").collect()}
     # (the dup_ngram_max=None counter-proof that 48's drop is the n-gram
@@ -115,6 +123,36 @@ def test_curation_knob_change_rebuilds_stale_stages(spark, curation_docs,
 
 
 @pytest.mark.slow
+def test_curation_benchmark_change_rebuilds_clean_stage(spark, curation_docs,
+                                                        tmp_path):
+    """ADVICE r5 (medium): the clean stage's staleness key must fingerprint
+    the benchmark CONTENT — rerunning the same run_dir with a different
+    benchmark set used to resume the stale stage and let the new set's
+    contaminated docs through."""
+    run_dir = str(tmp_path / "cur")
+    bench_a = spark.createDataFrame(
+        [(1, f"question intro {BENCH_SENTENCE} choose one answer")],
+        ["bench_id", "text"])
+    first = run_curation(spark, curation_docs, run_dir, benchmarks=bench_a)
+    assert first["summary"]["after_decontam"] == \
+        first["summary"]["after_filter"] - 1        # doc 49 flagged
+
+    # same knobs, DIFFERENT benchmark content (matches nothing) → clean
+    # rebuilds and doc 49 is readmitted; downstream stages rebuild too
+    bench_b = spark.createDataFrame(
+        [(1, " ".join(f"zz{i}" for i in range(15)))], ["bench_id", "text"])
+    second = run_curation(spark, curation_docs, run_dir, benchmarks=bench_b)
+    assert second["resumed"]["scrubbed"] and second["resumed"]["filtered"]
+    assert not second["resumed"]["clean"]
+    assert second["summary"]["after_decontam"] == \
+        second["summary"]["after_filter"]
+
+    # identical benchmark content on a third run → everything resumes
+    third = run_curation(spark, curation_docs, run_dir, benchmarks=bench_b)
+    assert all(third["resumed"].values())
+
+
+@pytest.mark.slow
 def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
                                                   tmp_path):
     kw = dict(fractions={"en": 1.0})  # drop non-en strata entirely
@@ -125,31 +163,36 @@ def test_curation_stratified_mix_is_deterministic(spark, curation_docs,
     assert ids(a) == ids(b)
 
 
-@pytest.mark.slow
-def test_curation_scoring_stage_is_shuffle_free(spark, curation_docs,
-                                                tmp_path):
-    """The score/filter stage computes quality + repetition + token counts
-    in ONE scan-side select — no Exchange before the committed write (a
-    per-family join formulation would shuffle the document stream three
-    times)."""
+def test_curation_scrub_and_scoring_stages_are_shuffle_free(spark,
+                                                            curation_docs):
+    """The scrub stage AND the score/filter stage are each ONE scan-side
+    select — no Exchange anywhere from raw docs through scrub through the
+    filtered projection (r5 VERDICT what's-wrong #2: the scrub used to be
+    a doc_id self-join that shuffled the full document stream twice; a
+    per-family score join formulation would shuffle it three more times)."""
     import io
     from contextlib import redirect_stdout
 
-    res = run_curation(spark, curation_docs, str(tmp_path / "cur"))
-    # rebuild the filtered plan lazily from the committed scrubbed stage
     from smart_pdf_md_spark.operators.textstats import (
-        quality_cols, repetition_cols, token_count_cols)
-    scrubbed = res["scrubbed"]
+        quality_cols, repetition_cols, scrub_cols, token_count_cols)
+
+    # the exact expression shapes run_curation's scrubbed+filtered builders
+    # use, chained lazily from the raw docs
+    sc = scrub_cols(F.col("text"))
+    scrubbed = curation_docs.select(
+        "doc_id", "lang", sc["text_scrubbed"].alias("text"),
+        sc["was_redacted"].alias("was_redacted"))
     text = F.col("text")
     plan_df = scrubbed.select(
         "*", quality_cols(text)["quality"].alias("quality"),
         *[v.alias(k) for k, v in repetition_cols(text).items()],
         token_count_cols(text)["n_tokens"].alias("n_tokens"),
-    ).filter("quality >= 0.3 and dup_line_ratio <= 0.5")
+    ).filter("quality >= 0.3 and dup_line_ratio <= 0.5 and n_tokens >= 1")
     buf = io.StringIO()
     with redirect_stdout(buf):
         plan_df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+    assert "Join" not in buf.getvalue()
 
 
 def test_curation_scoring_composes_with_structured_streaming(spark, tmp_path):

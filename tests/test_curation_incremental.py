@@ -21,12 +21,15 @@ def _good(tag: str, n: int = 60) -> str:
 def test_incremental_curation_cross_batch_dedup(spark, tmp_path):
     run_dir = str(tmp_path / "inc")
 
-    # batch 1: two distinct good docs + one junk doc
+    # batch 1: two distinct good docs + one junk doc + one EMPTY doc (the
+    # r5 VERDICT #5 gate: quality exactly 0.3 must not sneak it into
+    # cur_kept with zero chunks)
     b1 = _docs(spark, [(10, _good("a"), "en"),
                        (11, _good("b"), "en"),
-                       (12, "?!:; ?!:;", "en")])
+                       (12, "?!:; ?!:;", "en"),
+                       (13, "", "en")])
     s1 = curate_append(spark, b1, run_dir)
-    assert s1["batch_in"] == 3 and s1["batch_new"] == 3
+    assert s1["batch_in"] == 4 and s1["batch_new"] == 4
     assert s1["batch_passed"] == 2 and s1["batch_kept"] == 2
     assert s1["total_kept"] == 2 and s1["total_chunks"] >= 2
 
@@ -67,6 +70,53 @@ def test_incremental_curation_exact_channel_short_docs(spark, tmp_path):
     from smart_pdf_md_spark.plans.manifests import read_stage
     kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
     assert kept == {1, 3}
+
+
+def test_incremental_crash_between_kept_and_chunks_heals(spark, tmp_path,
+                                                         monkeypatch):
+    """ADVICE r5 (high): a crash AFTER the cur_kept append but BEFORE the
+    cur_chunks append must not lose the batch's chunks forever. The torn
+    winners used to land in the blocking set on reprocess, so winners came
+    back empty and cur_processed then sealed the batch chunk-less."""
+    from smart_pdf_md_spark.plans import curation_incremental as ci
+    from smart_pdf_md_spark.plans.manifests import read_stage
+
+    run_dir = str(tmp_path / "inc")
+    s1 = curate_append(spark, _docs(spark, [(10, _good("a"), "en")]), run_dir)
+    assert s1["batch_kept"] == 1
+
+    # batch 2: crash exactly at the chunk build (kept already appended)
+    b2 = _docs(spark, [(20, _good("b"), "en")])
+    real_chunks = ci.chunk_documents
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before chunks commit")
+
+    monkeypatch.setattr(ci, "chunk_documents", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_append(spark, b2, run_dir)
+    monkeypatch.setattr(ci, "chunk_documents", real_chunks)
+
+    # torn state: doc 20 is kept but has no chunks, batch not in roster
+    kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
+    assert 20 in kept
+    chunk_docs = {r.doc_id for r in
+                  read_stage(spark, run_dir, "cur_chunks").collect()}
+    assert 20 not in chunk_docs
+
+    # reprocess heals: same winner recomputed, chunks appended, no dup kept
+    s2 = curate_append(spark, b2, run_dir)
+    assert s2["batch_new"] == 1 and s2["batch_kept"] == 1
+    assert s2["total_kept"] == 2
+    chunk_docs = {r.doc_id for r in
+                  read_stage(spark, run_dir, "cur_chunks").collect()}
+    assert 20 in chunk_docs
+    kept_rows = read_stage(spark, run_dir, "cur_kept").count()
+    assert kept_rows == 2                 # the torn append was not repeated
+
+    # and a THIRD delivery is now a complete no-op
+    s3 = curate_append(spark, b2, run_dir)
+    assert s3["batch_new"] == 0 and s3["total_chunks"] == s2["total_chunks"]
 
 
 @pytest.mark.slow
