@@ -169,6 +169,9 @@ def k_truss(triples: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     original edge set is read once into the first round's lazy plan."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")  # ADVICE r5: k > 2 with
+        # a non-positive cap otherwise hit `keep` before first binding
     cur = (triples.select(F.least("subj", "obj").alias("u"),
                           F.greatest("subj", "obj").alias("v"))
            .filter(F.col("u") != F.col("v"))

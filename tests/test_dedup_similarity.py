@@ -232,11 +232,11 @@ def test_local_link_path_reports_hot_bucket_drops(spark):
                                  "dropped_band_rows": N_BANDS * len(hot)}
 
 
-@pytest.mark.slow
 def test_embedding_cosine_cartesian_guard(spark):
     """The O(n²) exact baseline refuses inputs above max_rows (r2 VERDICT
     item 2) with a pointer to the LSH scale path; raising the bound or
-    passing None forces it through."""
+    passing None forces it through. Unmarked (ADVICE r5): this is the
+    cartesian-guard correctness gate — it stays in the default loop."""
     rows = [(i, [float(i), 1.0]) for i in range(20)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="embedding_cosine_pairs_lsh"):
@@ -381,6 +381,26 @@ def clustered_emb(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     df.persist().count()
     return df
+
+
+def test_ivf_full_probe_equals_bruteforce_small(spark):
+    """Fast IVF representative for the default selection (ADVICE r5: every
+    IVF gate was slow-marked): with nprobe = n_lists the IVF path scores
+    every list, so its top-k must EQUAL the brute-force top-k — one small
+    fixture exercises train/assign/probe end-to-end in seconds."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id < 3")
+
+    exact = SIM.topk_bruteforce(emb, queries, k=4).collect()
+    ivf = SIM.topk_ivf(emb, queries, k=4, n_lists=4, nprobe=4,
+                       n_iters=1).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert {key(r): (r.neighbor_id, r.cosine) for r in ivf} == \
+        {key(r): (r.neighbor_id, r.cosine) for r in exact}
 
 
 @pytest.mark.slow

@@ -273,6 +273,25 @@ def _py_k_truss(edge_list, k):
         edges -= drop
 
 
+def test_k_truss_small_fast(spark):
+    """Fast k-truss representative for the default selection (ADVICE r5:
+    the only parity test was slow-marked): a K4 with a pendant tail — the
+    3-truss is exactly the K4's 6 edges (support 2 each), the tail edge
+    dissolves; bad arguments raise instead of UnboundLocalError."""
+    from smart_pdf_md_spark.operators.graph import k_truss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]  # + pendant d—e
+    df = spark.createDataFrame([(u, "E", v) for u, v in k4],
+                               ["subj", "pred", "obj"])
+    got = {(r.u, r.v): r.support for r in k_truss(df, 4).collect()}
+    assert got == {(u, v): 2 for u, v in k4[:6]}
+    with pytest.raises(ValueError, match="max_iter"):
+        k_truss(df, 3, max_iter=0)
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(df, 1)
+
+
 @pytest.mark.slow
 def test_k_truss_vs_python_peeling(spark):
     """k-truss edges AND in-truss supports equal a reference Python peeling
