@@ -125,6 +125,21 @@ def test_k_core_vs_python_peeling(spark):
     assert set(clique) <= set(_py_k_core(edge_list, 4))  # clique survives
 
 
+def test_k_core_delta_peel_deep_cascade(spark):
+    """The delta-peel formulation must stay exact through a DEEP peeling
+    cascade: a 24-node path peels from both ends one pair per round (~12
+    delta rounds, each decrementing exactly the new endpoints) until only
+    the planted 4-clique's 2-core remains."""
+    path = [(f"p{i}", f"p{i+1}") for i in range(23)]
+    clique = ["c0", "c1", "c2", "c3"]
+    edges = path + [(a, b) for a in clique for b in clique if a < b]
+    edges.append(("p0", "c0"))  # attach the path to the clique
+    df = spark.createDataFrame(
+        [(u, "E", v) for u, v in edges], ["subj", "pred", "obj"])
+    got = {r.node: r.degree for r in k_core(df, 2).collect()}
+    assert got == _py_k_core(edges, 2) == {c: 3 for c in clique}
+
+
 def test_adaptive_quality_filter_exact_rank_and_duckdb_parity(spark):
     """Top-frac-per-stratum keep set matches DuckDB percent_rank exactly
     (deterministic tie-break by doc_id)."""
