@@ -430,8 +430,16 @@ def minhash_pairs_from_signatures(sigs_probe: DataFrame, sigs_all: DataFrame,
         if max_bucket is not None:
             # the hot set is tiny (≤ band_rows / max_bucket buckets):
             # collect once, anti-join against a local relation — one
-            # computation, nothing silent (linking.py:131-153 discipline)
-            hot_rows = (bands_all.groupBy("band", "band_hash")
+            # computation, nothing silent (linking.py:131-153 discipline).
+            # In the incremental (probe ≠ all) case only buckets the PROBE
+            # touches can contribute pairs, so the size agg is restricted
+            # to those first — per-batch cap cost stays probe-bounded as
+            # the history side grows instead of re-counting every
+            # historical bucket each batch.
+            sized = bands_all if shared else bands_all.join(
+                bands_probe.select("band", "band_hash").distinct(),
+                ["band", "band_hash"], "left_semi")
+            hot_rows = (sized.groupBy("band", "band_hash")
                         .agg(F.count("*").alias("bn"))
                         .filter(F.col("bn") > max_bucket).collect())
             drop_stats = {"dropped_buckets": len(hot_rows),
