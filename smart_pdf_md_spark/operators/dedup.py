@@ -288,6 +288,42 @@ def decontaminate(docs: DataFrame, benchmarks: DataFrame,
             .withColumn("contaminated", F.col("hit_grams") > 0))
 
 
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Cross-document duplication score — for each doc, the fraction of
+    its distinct n-grams that also occur in at least one OTHER document:
+    (id, n_grams, shared_grams, novelty) with novelty = 1 − shared/total
+    (1.0 = fully novel, 0.0 = every gram seen elsewhere). The
+    corpus-level complement of repetition_stats' within-doc ratios: a doc
+    can be internally pristine yet assembled entirely from boilerplate —
+    this is the signal that catches it, and the ranking a curation pass
+    uses to prefer novel text when near-dup clusters tie.
+
+    Scale shape: one postings shuffle (the `_shingles` relation, 8-byte
+    hashed grams) feeding both the posting-count agg and the per-doc
+    shared count — strictly LINEAR in corpus grams (no self-join, no pair
+    generation: even a shingle shared by a million docs contributes one
+    row per posting, never a cross product — contrast the capped pair
+    operators). Docs with < n tokens have no grams and emit n_grams = 0,
+    novelty = 1.0."""
+    grams = _gram_hashes(text_col)(n)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.size(grams).alias("n_grams"))
+    sh = _shingles(docs, text_col, id_col, n)
+    posting_docs = sh.groupBy("shingle").agg(F.count("*").alias("pn"))
+    shared = (sh.join(posting_docs, "shingle")
+              .filter(F.col("pn") > 1)
+              .groupBy("id").agg(F.count("*").alias("shared_grams")))
+    return (base.join(shared, "id", "left")
+            .select("id", "n_grams",
+                    F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"))
+            .withColumn(
+                "novelty",
+                F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
+                    F.round(1.0 - F.col("shared_grams") / F.col("n_grams")
+                            + 1e-9, 4))))
+
+
 def dedup_clusters(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Close the dedup loop: near-dup PAIRS (from any pair operator in this

@@ -1,0 +1,86 @@
+"""Corpus language-model scoring — the CCNet-style quality signal (Wenzek
+et al., "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data", LREC 2020): score every document by how well a language model of the
+corpus predicts it, then split each language into head/middle/tail
+perplexity buckets. CCNet trains a 5-gram KenLM; this operator family is
+the distributed unigram formulation of the same signal — exact, two
+DataFrame passes, no external model artifact — which is the proxy a
+100 TB pipeline can afford to recompute per snapshot.
+
+Spark-first shape:
+- the term-frequency table is ONE explode + groupBy over the scan (the
+  same postings shape as BM25's index — at 10^12 files write it once and
+  reuse);
+- per-document scoring joins the exploded token stream against the
+  frequency table on `term` — vocabulary-sized right side, plain
+  equi-shuffle, no UDF anywhere;
+- bucket assignment is an exact per-stratum percent_rank (the
+  adaptive_quality_filter discipline: deterministic at any parallelism,
+  doc_id tie-break, ANSI-expressible for the DuckDB oracle).
+
+All scores are rounded with the repo's +1e-9 epsilon so the oracle
+compares bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_tokens, avg_logprob) — the mean log10 unigram
+    probability of the document's tokens under the corpus' own empirical
+    unigram distribution (maximum-likelihood, no smoothing needed: every
+    scored token was counted, so p > 0 by construction).
+
+    Lower (more negative) = rarer vocabulary = farther from the corpus
+    head; CCNet's "perplexity" ordering with ppl = 10^(−avg_logprob).
+    Empty docs emit no row (no tokens to score — the sub-token rule).
+
+    Shuffle accounting: the first groupBy's map-side combine collapses
+    the exploded token stream to per-document DISTINCT term counts before
+    its exchange (documents are contiguous within scan partitions), the
+    corpus tf table aggregates that already-reduced relation, and the
+    scoring join + weighted mean move per-doc-distinct rows — the token
+    stream itself never crosses the wire. The (doc_id, term, cnt) shape
+    is exactly retrieval.bm25_index's postings table: at 10^12 files
+    materialize it once and feed both."""
+    toks = tokens_col(F.col(text_col))
+    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(toks).alias("term"))
+               .groupBy("doc_id", "term").agg(F.count("*").alias("cnt")))
+    tf = per_doc.groupBy("term").agg(F.sum("cnt").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    return (per_doc.join(tf, "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("int").alias("n_tokens"),
+                 F.round((F.sum(F.col("cnt") *
+                                F.log10(F.col("tf") / F.col("total")))
+                          / F.sum("cnt")) + 1e-9, 4).alias("avg_logprob")))
+
+
+def ppl_buckets(docs: DataFrame, by: str = "lang",
+                head: float = 0.33, middle: float = 0.66,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ input columns + (avg_logprob, ppl_rank, ppl_bucket) — CCNet's
+    head/middle/tail split, exact: within each `by` stratum, rank docs by
+    avg_logprob DESC (least surprising first; ties by doc_id) and label
+    percent_rank ≤ head as 'head', ≤ middle as 'middle', else 'tail'.
+    Downstream recipes keep head+middle, or sample tail at a discount.
+    Token-less docs score no LM signal and are excluded (scored inner
+    join), matching unigram_logprob's sub-token rule."""
+    scored = docs.join(
+        unigram_logprob(docs, text_col, id_col)
+        .withColumnRenamed("doc_id", id_col).drop("n_tokens"), id_col)
+    w = Window.partitionBy(by).orderBy(F.desc("avg_logprob"), id_col)
+    rk = F.round(F.percent_rank().over(w) + 1e-9, 4)
+    bucket = F.when(F.col("ppl_rank") <= head, F.lit("head")) \
+        .when(F.col("ppl_rank") <= middle, F.lit("middle")) \
+        .otherwise(F.lit("tail"))
+    return (scored.withColumn("ppl_rank", rk)
+            .withColumn("ppl_bucket", bucket))

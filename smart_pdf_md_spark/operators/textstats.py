@@ -428,6 +428,26 @@ def pack_sequences(chunks: DataFrame, budget_tokens: int = 2048,
             .select(*cols, "pack_id", "pack_tokens", "overflow"))
 
 
+def cap_per_group(df: DataFrame, group_col: str = "source",
+                  n: int = 100, order_col: str = "quality",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most `n` documents per group, best-first — the per-domain
+    cap every web-scale corpus recipe applies (a single template-heavy
+    site otherwise dominates the training mix no matter how good the
+    dedup is; cf. the per-domain limits in Gopher/MassiveWeb, Rae et al.
+    2021 §A1.2). Rows rank by (order_col DESC, id) inside their group —
+    deterministic at any parallelism — and rank > n drops; the rank is
+    returned as `group_rank` for auditing.
+
+    Scale shape: one hash-partition-by-group window sort, and Spark's
+    WindowGroupLimit pushes the rank-≤-n filter INTO the sort (top-n per
+    key, never a full group materialization), so a mega-domain costs its
+    top-n heap, not its row count."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), id_col)
+    return (df.withColumn("group_rank", F.row_number().over(w))
+            .filter(F.col("group_rank") <= n))
+
+
 def weighted_sample(df: DataFrame, weight: Column,
                     seed_col: str = "doc_id",
                     salt: str = "wsample_v1") -> DataFrame:

@@ -1,0 +1,192 @@
+"""Round-6 training-data operators: CCNet-style unigram LM scoring +
+perplexity buckets, per-domain caps, cross-document n-gram novelty."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_pdf_md_spark.operators import dedup as D
+from smart_pdf_md_spark.operators import lm as LM
+from smart_pdf_md_spark.operators import textstats as TS
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-checked corpus: p(a)=4/8, p(b)=2/8, p(c)=p(d)=1/8; per-doc
+    means follow; the empty doc emits no row."""
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d"), (3, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in LM.unigram_logprob(docs).collect()}
+    assert set(got) == {1, 2}
+    lp = lambda p: math.log10(p)  # noqa: E731
+    want1 = (2 * lp(0.5) + lp(0.25) + lp(0.125)) / 4
+    assert got[1].n_tokens == 4
+    assert abs(got[1].avg_logprob - round(want1 + 1e-9, 4)) < 5e-5
+    assert got[1].avg_logprob == got[2].avg_logprob  # symmetric docs
+
+
+def test_unigram_logprob_duckdb_parity_and_partitioning_invariance(spark):
+    """Full-frame DuckDB parity on a mixed corpus (board-rotation
+    candidate) and identical output at 1-way vs 8-way input."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, " ".join(f"w{j % (3 + i % 5)}" for j in range(10 + i)))
+            for i in range(30)] + [(98, ""), (99, "unique tokens only here")]
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(docs_pd)
+    got = LM.unigram_logprob(docs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    want = con.execute(r"""
+    WITH terms AS (
+      SELECT doc_id, unnest(toks) AS term FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents)
+    ), per_doc AS (
+      SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term
+    ), tf AS (
+      SELECT term, sum(cnt) AS tf FROM per_doc GROUP BY term
+    ), total AS (SELECT sum(tf) AS total FROM tf)
+    SELECT doc_id, CAST(sum(cnt) AS INT) AS n_tokens,
+           round(sum(cnt * log10(tf / total)) / sum(cnt) + 1e-9, 4)
+             AS avg_logprob
+    FROM per_doc JOIN tf USING (term) CROSS JOIN total
+    GROUP BY doc_id ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+    a = LM.unigram_logprob(docs.repartition(1)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = LM.unigram_logprob(docs.repartition(8)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ppl_buckets_exact_split(spark):
+    """Head/middle/tail per stratum: rare-vocab docs land in the tail,
+    head-vocab docs in the head; bucket shares follow the cut points; the
+    token-less doc is excluded (no LM signal)."""
+    rows = []
+    for i in range(9):  # doc i repeats common tokens, rarer with i
+        body = " ".join(["the common words"] * (9 - i) +
+                        [f"rare{i}_{j}" for j in range(i * 3)])
+        rows.append((i, body, "en"))
+    rows.append((9, "", "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = LM.ppl_buckets(docs, by="lang")
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert 9 not in got                      # empty doc has no LM row
+    assert got[0] == "head" and got[8] == "tail"
+    # buckets are contiguous in rank order
+    order = [got[i] for i in range(9)]
+    assert order == sorted(order, key=("head", "middle", "tail").index)
+
+
+def test_cap_per_group_keeps_best_n(spark):
+    """Top-n per domain by (quality desc, doc_id): a 20-doc mega-domain is
+    cut to n, small domains survive whole, ranks are audit-ready, and the
+    kept set is the deterministic best."""
+    rows = [(i, "mega.example", float(i % 7)) for i in range(20)]
+    rows += [(100 + i, "small.example", float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    out = TS.cap_per_group(df, "source", n=5, order_col="quality").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    assert len(by_dom["mega.example"]) == 5
+    assert len(by_dom["small.example"]) == 3
+    # best-first: i%7 puts two 6s (i=6,13) and three 5s (i=5,12,19) on top
+    kept_q = sorted((r.quality for r in by_dom["mega.example"]), reverse=True)
+    assert kept_q == [6.0, 6.0, 5.0, 5.0, 5.0]
+    assert all(r.group_rank <= 5 for r in out)
+
+
+def test_cap_per_group_plan_uses_window_group_limit(spark):
+    """The rank<=n filter must push into the window sort (top-n per key,
+    never a full-group materialization) — the property that makes a
+    mega-domain cost its heap, not its row count."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        F.rand(1).alias("quality"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        TS.cap_per_group(df, "source", n=5).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_ngram_novelty_known_values_and_duckdb_parity(spark):
+    """Planted corpus: a fully-copied doc scores novelty 0, a unique doc
+    1.0, a half-boilerplate doc in between; counts match a DuckDB oracle
+    over string grams; sub-n-token docs emit n_grams=0, novelty 1.0."""
+    import duckdb
+    import pandas as pd
+
+    boiler = "standard header used by every page here today ok"
+    docs_pd = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [boiler,                                  # copy A
+                 boiler,                                  # copy B
+                 boiler + " plus original analysis of the results",
+                 " ".join(f"u{j}" for j in range(12)),    # fully novel
+                 "too short"],                            # < 3 tokens
+    })
+    docs = spark.createDataFrame(docs_pd)
+    got = {r.id: r for r in D.ngram_novelty(docs).collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[4].novelty == 1.0 and got[4].shared_grams == 0
+    assert got[5].n_grams == 0 and got[5].novelty == 1.0
+    assert 0.0 < got[3].novelty < 1.0
+
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    want = con.execute(r"""
+    WITH g AS (
+      SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+             ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS grams
+      FROM (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+            FROM docs)
+    ), post AS (
+      SELECT gram, count(*) AS pn FROM (
+        SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY gram
+    ), shared_set AS (
+      SELECT coalesce(list(gram) FILTER (pn > 1), []::VARCHAR[]) AS sg
+      FROM post
+    )
+    SELECT g.doc_id, len(grams) AS n_grams,
+           len(list_filter(grams, x -> list_contains(sg, x))) AS shared
+    FROM g CROSS JOIN shared_set
+    """).df().set_index("doc_id")
+    for did, r in got.items():
+        assert want.loc[did, "n_grams"] == r.n_grams, did
+        assert want.loc[did, "shared"] == r.shared_grams, did
+
+
+def test_ngram_novelty_plan_is_linear(spark):
+    """No self-join, no pair generation: the plan contains exactly the
+    postings aggregation joins — no CartesianProduct and only inner joins
+    on the shingle/posting relation."""
+    import io
+    from contextlib import redirect_stdout
+
+    from smart_pdf_md_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        D.ngram_novelty(docs).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
