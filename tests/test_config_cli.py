@@ -247,10 +247,10 @@ def test_curate_cli_mode(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     payload = _json.loads(r.stdout.strip().splitlines()[-1])
-    # the pure-punct doc drops on quality; the empty doc scores exactly 0.3
-    # (len/stopword terms 0, punct term grants 0.3) and survives the filter
-    # — it just yields no chunks
-    assert payload["docs_in"] == 3 and payload["after_filter"] == 2
+    # the pure-punct doc drops on quality; the empty doc drops on the
+    # n_tokens >= 1 gate (r6 — it used to squeak past at quality exactly
+    # 0.3 and sit in the kept set with zero chunks)
+    assert payload["docs_in"] == 3 and payload["after_filter"] == 1
     assert payload["chunks"] >= 1 and out.exists()
     assert not any(payload["resumed"].values())
 
