@@ -72,15 +72,23 @@ def ppl_buckets(docs: DataFrame, by: str = "lang",
     avg_logprob DESC (least surprising first; ties by doc_id) and label
     percent_rank ≤ head as 'head', ≤ middle as 'middle', else 'tail'.
     Downstream recipes keep head+middle, or sample tail at a discount.
-    Token-less docs score no LM signal and are excluded (scored inner
-    join), matching unigram_logprob's sub-token rule."""
-    scored = docs.join(
-        unigram_logprob(docs, text_col, id_col)
-        .withColumnRenamed("doc_id", id_col).drop("n_tokens"), id_col)
+    Token-less docs score no LM signal and are excluded (inner join back
+    to docs), matching unigram_logprob's sub-token rule.
+
+    Plan shape: ranking runs over the SLIM (id, stratum, score) relation
+    — the document stream (text and friends) never enters the window
+    sort's exchange and crosses the wire exactly once, in the final
+    label-reattachment join (which AQE broadcasts whenever the label side
+    fits)."""
+    slim = (unigram_logprob(docs, text_col, id_col)
+            .withColumnRenamed("doc_id", id_col).drop("n_tokens")
+            .join(docs.select(id_col, by), id_col))
     w = Window.partitionBy(by).orderBy(F.desc("avg_logprob"), id_col)
     rk = F.round(F.percent_rank().over(w) + 1e-9, 4)
     bucket = F.when(F.col("ppl_rank") <= head, F.lit("head")) \
         .when(F.col("ppl_rank") <= middle, F.lit("middle")) \
         .otherwise(F.lit("tail"))
-    return (scored.withColumn("ppl_rank", rk)
-            .withColumn("ppl_bucket", bucket))
+    labels = (slim.withColumn("ppl_rank", rk)
+              .withColumn("ppl_bucket", bucket)
+              .drop(by))
+    return docs.join(labels, id_col)

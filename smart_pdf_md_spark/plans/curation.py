@@ -33,6 +33,7 @@ from ..operators.dedup import (
     minhash_dedup_pairs,
 )
 from ..operators.textstats import (
+    cap_per_group,
     chunk_documents,
     quality_cols,
     repetition_cols,
@@ -52,6 +53,8 @@ def run_curation(
     dup_ngram_max: float | None = 0.8,
     dedup_threshold: float = 0.9,
     fractions: dict | None = None,
+    max_per_source: int | None = None,
+    domain_col: str = "source",
     benchmarks: DataFrame | None = None,
     decontam_n: int = 13,
     chunk_tokens: int = 100,
@@ -74,14 +77,21 @@ def run_curation(
     decontamination stage: documents sharing any ``decontam_n``-token gram
     with the benchmark set (GPT-3 appendix-C overlap) are dropped between
     filter and dedup — eval answers memorized verbatim in the training set
-    are the one corpus defect no downstream metric can surface."""
+    are the one corpus defect no downstream metric can surface.
+    ``max_per_source`` applies the Gopher/MassiveWeb per-domain limit in
+    the filter stage (top-n per ``domain_col`` by quality, deterministic
+    doc_id tie-break — textstats.cap_per_group): a single template-heavy
+    domain cannot dominate the mix no matter how well it scores."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
         if on_stage is not None:
             on_stage(stage, resumed[stage])
 
-    base = docs.select("doc_id", "text", "lang")
+    cols = ["doc_id", "text", "lang"]
+    if max_per_source is not None:
+        cols.append(domain_col)
+    base = docs.select(*cols)
 
     def build_scrubbed() -> DataFrame:
         # ONE scan-side select (r5 VERDICT what's-wrong #2): the scrub is a
@@ -89,7 +99,8 @@ def run_curation(
         # self-join shuffled the whole document stream twice for nothing;
         # committed schema is unchanged (doc_id, lang, text, was_redacted)
         sc = scrub_cols(F.col("text"))
-        return base.select("doc_id", "lang",
+        extra = [domain_col] if max_per_source is not None else []
+        return base.select("doc_id", "lang", *extra,
                            sc["text_scrubbed"].alias("text"),
                            sc["was_redacted"].alias("was_redacted"))
 
@@ -121,13 +132,17 @@ def run_curation(
         kept = scored.filter(keep)
         if fractions:
             kept = stratified_sample(kept, "lang", fractions)
+        if max_per_source is not None:
+            kept = cap_per_group(kept, domain_col, max_per_source) \
+                .drop("group_rank")
         return kept
 
     filtered, resumed["filtered"] = run_stage(
         spark, run_dir, "filtered", build_filtered, ["doc_id"],
         deps=["scrubbed"],
         params={"quality_min": quality_min, "dup_line_max": dup_line_max,
-                "dup_ngram_max": dup_ngram_max, "fractions": fractions})
+                "dup_ngram_max": dup_ngram_max, "fractions": fractions,
+                "max_per_source": max_per_source})
     _note("filtered")
 
     upstream, upstream_name = filtered, "filtered"

@@ -123,6 +123,36 @@ def test_curation_knob_change_rebuilds_stale_stages(spark, curation_docs,
 
 
 @pytest.mark.slow
+def test_curation_per_domain_cap(spark, tmp_path):
+    """max_per_source applies the Gopher-style per-domain limit inside the
+    filter stage: a 12-doc mega-domain is cut to its best 5 by quality,
+    the small domain survives whole, and the knob participates in the
+    params digest (it reaches the committed stage)."""
+    import random
+    rng = random.Random(31)
+    vocab = [f"word{j}" for j in range(500)]
+    rows = []
+    for i in range(12):
+        body = ("the story of it is on a hill and for a day it was good "
+                + " ".join(rng.sample(vocab, 40)))
+        rows.append((i, body, "en", "mega.example"))
+    for i in (100, 101):
+        body = ("the story of it is on a hill and for a day it was good "
+                + " ".join(rng.sample(vocab, 40)))
+        rows.append((i, body, "en", "small.example"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    res = run_curation(spark, docs, str(tmp_path / "cur"), max_per_source=5)
+    s = res["summary"]
+    assert s["docs_in"] == 14 and s["after_filter"] == 7
+    srcs = {r.source for r in res["filtered"].collect()}
+    assert srcs == {"mega.example", "small.example"}
+    assert res["filtered"].filter("source = 'mega.example'").count() == 5
+    # distinct vocab draws → no near-dups: all 7 survive dedup and chunk
+    assert s["after_dedup"] == 7
+
+
+@pytest.mark.slow
 def test_curation_benchmark_change_rebuilds_clean_stage(spark, curation_docs,
                                                         tmp_path):
     """ADVICE r5 (medium): the clean stage's staleness key must fingerprint
