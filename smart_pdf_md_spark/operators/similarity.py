@@ -15,6 +15,7 @@ Two paths, same result shape (query_id, neighbor_id, cosine, rank):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -227,6 +228,146 @@ def topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def pq_train(emb: DataFrame, m: int = 8, ks: int = 16, n_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, sample_mod: int = 1) -> np.ndarray:
+    """Product-quantization codebook (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) → shape
+    (m, ks, dim/m): the vector space splits into m subspaces and each is
+    k-means'd independently, so a vector compresses to m small code ids
+    (m bytes at ks=256) while distances remain computable from per-query
+    lookup tables — the memory-bound ANN regime that keeps a billion-
+    vector index in RAM where raw float32 would need dim·4 bytes/vector.
+
+    Each subspace reuses :func:`ivf_train`'s deterministic Lloyd's
+    machinery verbatim (seeded id-hash init, rounded centroids,
+    `sample_mod` training sliver), applied to the sliced column — the
+    codebook is a pure function of the data at any parallelism."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    books = []
+    for s in range(m):
+        sliced = emb.select(F.col(id_col).alias("vec_id"),
+                            F.slice(vec, s * dsub + 1, dsub).alias("embedding"))
+        books.append(ivf_train(sliced, n_lists=ks, n_iters=n_iters,
+                               dim=dsub, sample_mod=sample_mod))
+    return np.stack(books)
+
+
+def pq_encode(emb: DataFrame, codebook: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, code array<int> length m) — each vector's per-subspace nearest
+    centroid ids. One Arrow pass (numpy argmin over all subspaces at
+    once); codes are a pure function of (vector, codebook), so encoding
+    is partitioning/resume-invariant. At scale this table IS the index:
+    m bytes/vector instead of dim·4."""
+    from pyspark.sql import types as T
+
+    mm, ks, dsub = codebook.shape
+    cb = codebook  # captured; broadcast by closure serialization
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.array(vs.tolist(), dtype="float64")        # (n, dim)
+        sub = x.reshape(len(x), mm, dsub)                 # (n, m, dsub)
+        # ‖x_s − c_sj‖² for all subspaces/codes: (n, m, ks)
+        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype("int32")         # first-min ties
+        return pd.Series(list(codes))
+
+    return emb.select(F.col(id_col).alias("id"),
+                      encode(F.col(vec_col).cast("array<double>"))
+                      .alias("code"))
+
+
+def topk_pq(emb: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, ks: int = 16, n_iters: int = 3,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int = 64, codebook: np.ndarray | None = None,
+            codes: DataFrame | None = None,
+            rerank_from: int | None = None) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC):
+    per query, an (m × ks) table of subspace dot products against the
+    codebook is built once, and every corpus vector scores as m table
+    lookups over its CODE — the raw vectors are never touched at query
+    time. Score = estimated cosine q·x̂/(‖q‖·‖x̂‖) with x̂ the codebook
+    reconstruction; same output shape as the other ANN paths
+    (query_id, neighbor_id, cosine, rank), with `cosine` the ADC
+    ESTIMATE (recall-gated in tests, like LSH/IVF).
+
+    Scale shape: the scan side reads only (id, code) — m bytes/vector;
+    queries broadcast (tiny); the only shuffle is the per-query top-k
+    window. Pass precomputed `codebook`/`codes` to skip training and
+    encoding (the serving path).
+
+    ``rerank_from=R`` enables the ADC+R configuration (the paper's §VII,
+    the standard high-recall serving mode): ADC shortlists the top R per
+    query from codes alone, then ONLY those R rows join back to the raw
+    vectors for an exact-cosine rerank to k — quantization error affects
+    the shortlist boundary, not the final ordering, and the raw-vector
+    read is R·|queries| rows instead of the corpus."""
+    if codebook is None:
+        codebook = pq_train(emb, m, ks, n_iters, id_col, vec_col, dim)
+    if codes is None:
+        codes = pq_encode(emb, codebook, id_col, vec_col)
+    mm, _ks, dsub = codebook.shape
+    cb = codebook
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("qv")) \
+        .collect()  # query set is tiny by contract (the broadcast side)
+    qtab = {}
+    for r in qrows:
+        q = np.asarray(r.qv, dtype="float64").reshape(mm, dsub)
+        qtab[r.query_id] = {
+            "dot": np.einsum("sd,skd->sk", q, cb),        # (m, ks)
+            "qn": float(np.linalg.norm(q)),
+        }
+    cnorm2 = (cb ** 2).sum(axis=2)                        # (m, ks)
+
+    @F.pandas_udf("double")
+    def adc(qids: pd.Series, code_s: pd.Series) -> pd.Series:
+        codes_np = np.array(code_s.tolist(), dtype="int64")   # (n, m)
+        rows = np.arange(mm)
+        out = np.empty(len(codes_np))
+        for qid, grp in pd.Series(range(len(qids))).groupby(qids.values):
+            t = qtab[qid]
+            idx = grp.values
+            c = codes_np[idx]                                 # (g, m)
+            dots = t["dot"][rows[None, :], c].sum(axis=1)     # (g,)
+            xnorm = np.sqrt(cnorm2[rows[None, :], c].sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                est = np.where(xnorm > 0, dots / (t["qn"] * xnorm), 0.0)
+            out[idx] = est
+        return pd.Series(np.round(out + 1e-9, 4))
+
+    qids_df = queries.select(F.col(id_col).alias("query_id"))
+    scored = (codes.withColumnRenamed("id", "neighbor_id")
+              .crossJoin(F.broadcast(qids_df))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      adc("query_id", "code").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    if rerank_from is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= max(rerank_from, k))
+                 .select("query_id", "neighbor_id"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).cast("array<double>").alias("nv"))
+    exact = (shortlist.join(nv, "neighbor_id").join(F.broadcast(qv), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(_cosine(F.col("qv"), F.col("nv")) + 1e-9, 4)
+                     .alias("cosine")))
+    return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 

@@ -72,6 +72,7 @@ def test_incremental_curation_exact_channel_short_docs(spark, tmp_path):
     assert kept == {1, 3}
 
 
+@pytest.mark.slow
 def test_incremental_crash_between_kept_and_chunks_heals(spark, tmp_path,
                                                          monkeypatch):
     """ADVICE r5 (high): a crash AFTER the cur_kept append but BEFORE the
