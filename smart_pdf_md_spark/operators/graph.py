@@ -13,7 +13,7 @@ loop, the driver owns the iteration count, every round's plan is flat.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -223,6 +223,59 @@ def k_truss(triples: DataFrame, k: int, max_iter: int = 100,
         if n_dropped == 0:
             return keep
     return keep  # max_iter cap: conservative (possibly un-peeled) truss
+
+
+def label_propagation(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Community detection via DETERMINISTIC synchronous label propagation
+    (Raghavan/Albert/Kumara 2007, made order-independent) → (node, label):
+    labels init to the node's own id; each round every node adopts the
+    label with the highest count among its neighbors PLUS itself, ties
+    broken by the smallest label. The self-vote damps the 2-cycle
+    oscillation synchronous LPA is known for; min-label tie-breaks make
+    the fixpoint a pure function of the graph (classic LPA breaks ties
+    randomly and is run-to-run unstable — useless for a resumable
+    pipeline). Communities are finer than connected components: two
+    cliques joined by one bridge edge share a component but keep
+    distinct labels.
+
+    Scale shape: the symmetric edge set persists at natural partitioning
+    (_edge_set); each round is one edges⋈labels join + a (node, label)
+    count + a per-node argmax window — all label-relation-sized; the
+    vocabulary-sized label state checkpoints per round and the loop ends
+    at the no-change fixpoint (or max_iter, the LPA standard since
+    convergence is not guaranteed in pathological graphs). Self-loops are
+    dropped (the k_core/k_truss convention — a loop would double a
+    node's self-weight and bias it against adopting its community)."""
+    base = _edge_set(triples, undirected=True)
+    edges = base.filter(F.col("src") != F.col("dst"))
+    spark = triples.sparkSession
+    p = max(spark.sparkContext.defaultParallelism // 4, 1)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .coalesce(p).localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            votes = (edges
+                     .join(labels.withColumnRenamed("node", "dst")
+                           .withColumnRenamed("label", "nbr_label"), "dst")
+                     .select(F.col("src").alias("node"),
+                             F.col("nbr_label").alias("label"))
+                     .unionAll(labels)          # self-vote (damping)
+                     .groupBy("node", "label")
+                     .agg(F.count("*").alias("n")))
+            w = Window.partitionBy("node").orderBy(F.desc("n"), "label")
+            new = (votes.withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") == 1).select("node", "label")
+                   .coalesce(p).localCheckpoint(eager=True))
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "node")
+                       .filter(F.col("label") != F.col("old")).count())
+            labels = new
+            if changed == 0:
+                return labels
+        return labels  # max_iter cap: a valid (possibly unconverged) labeling
+    finally:
+        base.unpersist()
 
 
 def _edge_set(triples: DataFrame, undirected: bool = False) -> DataFrame:

@@ -140,6 +140,72 @@ def test_k_core_delta_peel_deep_cascade(spark):
     assert got == _py_k_core(edges, 2) == {c: 3 for c in clique}
 
 
+def _py_lpa(edge_list, max_iter=10):
+    """Reference implementation of the same deterministic sync rule."""
+    adj: dict[str, set[str]] = {}
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        new = {}
+        for n in adj:
+            counts: dict[str, int] = {labels[n]: 1}  # self-vote
+            for m in adj[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        if new == labels:
+            return labels
+        labels = new
+    return labels
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Fast LPA representative: two 5-cliques joined by ONE bridge edge —
+    a single connected component — get two distinct communities (the
+    signal CC cannot produce), matching the reference Python
+    implementation of the same deterministic rule."""
+    from smart_pdf_md_spark.operators.graph import label_propagation
+
+    a = [f"a{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(5)]
+    edge_list = {(x, y) for x in a for y in a if x < y}
+    edge_list |= {(x, y) for x in b for y in b if x < y}
+    edge_list.add(("a0", "b0"))                       # the bridge
+    df = spark.createDataFrame(
+        [(u, "E", v) for u, v in edge_list], ["subj", "pred", "obj"])
+    got = {r.node: r.label for r in label_propagation(df).collect()}
+    assert got == _py_lpa(edge_list)
+    assert len({got[x] for x in a}) == 1
+    assert len({got[x] for x in b}) == 1
+    assert got["a1"] != got["b1"]
+
+
+@pytest.mark.slow
+def test_label_propagation_vs_python_on_random_graph(spark):
+    """Deterministic LPA equals the reference Python rule on a random
+    graph with self-loops present, and the labeling is identical across
+    input partitionings (the tie-break determinism claim)."""
+    import random
+
+    from smart_pdf_md_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edge_list = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(15)}
+    edge_list |= {("c0", "c1"), ("c1", "c2"), ("c0", "c2"), ("c2", "n0")}
+    df = spark.createDataFrame(
+        [(u, "E", v) for u, v in edge_list], ["subj", "pred", "obj"])
+    got = {r.node: r.label for r in label_propagation(df).collect()}
+    assert got == _py_lpa(edge_list)
+    got8 = {r.node: r.label
+            for r in label_propagation(df.repartition(8)).collect()}
+    assert got8 == got
+
+
 def test_adaptive_quality_filter_exact_rank_and_duckdb_parity(spark):
     """Top-frac-per-stratum keep set matches DuckDB percent_rank exactly
     (deterministic tie-break by doc_id)."""
