@@ -125,6 +125,7 @@ def test_k_core_vs_python_peeling(spark):
     assert set(clique) <= set(_py_k_core(edge_list, 4))  # clique survives
 
 
+@pytest.mark.slow
 def test_k_core_delta_peel_deep_cascade(spark):
     """The delta-peel formulation must stay exact through a DEEP peeling
     cascade: a 24-node path peels from both ends one pair per round (~12
