@@ -1,0 +1,106 @@
+"""Mergeable sketches: HLL register tables + Count-Min frequency tables.
+
+No DuckDB oracle here (xxhash64 has no DuckDB twin — driver-contract
+memory rule): the pins are the hash-free sketch INVARIANTS instead —
+split-merge equals whole bit-for-bit, partitioning invariance, accuracy
+against exact counts, and the one-sided CMS error direction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_pdf_md_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # 20k rows over 5k distinct keys with a skewed head
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 5000)))
+        .alias("key"))
+    df.persist().count()
+    return df
+
+
+def test_hll_merge_of_splits_is_bitwise_whole(spark, stream):
+    """THE mergeable property: sketch(A) ∪ sketch(B) == sketch(A ∪ B)
+    register-for-register, and the register table is identical at 1-way
+    and 16-way parallelism — so committed sketches from different
+    runs/batches union exactly."""
+    whole = {(r.bucket, r.rho) for r in SK.hll_registers(stream).collect()}
+    a = SK.hll_registers(stream.filter("key < 'k25'"))
+    b = SK.hll_registers(stream.filter("key >= 'k25'"))
+    merged = {(r.bucket, r.rho) for r in SK.hll_merge(a, b).collect()}
+    assert merged == whole
+    one = {(r.bucket, r.rho)
+           for r in SK.hll_registers(stream.repartition(1)).collect()}
+    many = {(r.bucket, r.rho)
+            for r in SK.hll_registers(stream.repartition(16)).collect()}
+    assert one == many == whole
+
+
+def test_hll_estimate_accuracy(spark, stream):
+    """p=12 → σ ≈ 1.6 %; gate at 5 % on ~4.3k distinct (above the
+    linear-counting switch) and at 3 % on a 100-key set (inside it)."""
+    exact = stream.distinct().count()
+    est = SK.hll_estimate(SK.hll_registers(stream), p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    small = stream.filter("key < 'k11'")  # ~100 keys → linear counting
+    ex_s = small.distinct().count()
+    est_s = SK.hll_estimate(SK.hll_registers(small), p=12)
+    assert abs(est_s - ex_s) / ex_s < 0.03, (est_s, ex_s)
+
+
+def test_hll_duplicates_do_not_move_registers(spark, stream):
+    """Cardinality sketches see DISTINCT keys: unioning the stream with
+    itself leaves the register table bit-identical."""
+    doubled = stream.unionAll(stream)
+    a = {(r.bucket, r.rho) for r in SK.hll_registers(stream).collect()}
+    b = {(r.bucket, r.rho) for r in SK.hll_registers(doubled).collect()}
+    assert a == b
+
+
+def test_cms_point_queries_one_sided_and_merge(spark, stream):
+    """CMS never underestimates; the hot key reads ~exact on a sparse
+    table; merging per-batch tables cell-wise equals the whole-stream
+    table; query side returns 0-floor for never-seen keys."""
+    table = SK.cms_table(stream, ["key"])
+    truth = {r.key: r.n for r in
+             stream.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    probes = spark.createDataFrame(
+        [("hot",), ("k1",), ("k4999",), ("never-seen",)], ["key"])
+    got = {r.key: r.est_count
+           for r in SK.cms_query(table, probes, ["key"]).collect()}
+    assert got["hot"] >= truth["hot"]
+    assert got["k1"] >= truth["k1"] and got["k4999"] >= truth["k4999"]
+    # 5k hot-count vs w=1024 buckets: collisions add at most a few small
+    # keys — the hot estimate stays within 1 % of truth
+    assert got["hot"] <= truth["hot"] * 1.01
+    assert got["never-seen"] >= 0
+
+    a = SK.cms_table(stream.filter("key < 'k25'"), ["key"])
+    b = SK.cms_table(stream.filter("key >= 'k25'"), ["key"])
+    merged = {(r.row, r.bucket): r.cnt for r in SK.cms_merge(a, b).collect()}
+    whole = {(r.row, r.bucket): r.cnt for r in table.collect()}
+    assert merged == whole
+
+
+def test_sketches_commit_roundtrip(spark, stream, tmp_path):
+    """The cross-run story end-to-end: commit a batch's registers via the
+    manifest layer, read them back in 'a later run', merge with a new
+    batch, and the estimate tracks the union's exact distinct count."""
+    from smart_pdf_md_spark.plans.manifests import commit_stage, read_stage
+
+    run_dir = str(tmp_path / "sk")
+    batch1 = stream.filter("key < 'k25'")
+    batch2 = stream.filter("key >= 'k25'")
+    commit_stage(SK.hll_registers(batch1), run_dir, "hll_tokens",
+                 ["bucket", "rho"])
+    persisted = read_stage(spark, run_dir, "hll_tokens")
+    est = SK.hll_estimate(SK.hll_merge(persisted,
+                                       SK.hll_registers(batch2)))
+    exact = stream.distinct().count()
+    assert abs(est - exact) / exact < 0.05
