@@ -19,6 +19,10 @@ State, all through plans/manifests (same Iceberg-shaped commit layer):
     cur_processed  batch completion roster — appended LAST, so a crash
                    mid-batch reprocesses the batch and the intermediate
                    appends are made idempotent by anti-joins.
+    cur_content_hll  mergeable HLL register table of every quality-passing
+                   content hash ever seen (operators/sketches.py) —
+                   distinct-content telemetry in one KB-sized table;
+                   max-merge makes it idempotent under reprocessing.
 
 Keeper semantics differ DELIBERATELY from the batch pipeline: committed
 outputs are immutable, so FIRST-SEEN WINS — a later near-duplicate is
@@ -43,6 +47,7 @@ from ..operators.dedup import (
     minhash_doc_signatures,
     minhash_pairs_from_signatures,
 )
+from ..operators.sketches import hll_estimate, hll_merge, hll_registers
 from ..operators.textstats import (
     chunk_documents,
     quality_cols,
@@ -55,6 +60,7 @@ from .manifests import commit_stage, read_stage, stage_committed
 
 _FILTERED, _KEPT, _CHUNKS, _DONE = ("cur_filtered", "cur_kept",
                                     "cur_chunks", "cur_processed")
+_SKETCH = "cur_content_hll"
 
 
 def curate_append(
@@ -186,6 +192,16 @@ def curate_append(
     _append_new(chunk_documents(new_kept, chunk_tokens=chunk_tokens,
                                 overlap=overlap),
                 _CHUNKS, ["doc_id", "chunk_idx"])
+    # corpus telemetry: a mergeable HLL of every quality-passing content
+    # hash ever seen (operators/sketches.py) — "how much DISTINCT content
+    # has this pipeline ingested" answered in one agg over a KB-sized
+    # table, no history re-read. Distinct-key sketches are redelivery-
+    # proof by construction: max-merging the same batch twice changes no
+    # register, so a reprocessed torn batch cannot inflate the estimate.
+    regs = hll_registers(new_filtered.select("content_hash"))
+    if stage_committed(run_dir, _SKETCH):
+        regs = hll_merge(read_stage(spark, run_dir, _SKETCH), regs)
+    commit_stage(regs.coalesce(1), run_dir, _SKETCH, ["bucket", "rho"])
     return _finish(spark, run_dir, summary, pending.select("doc_id"))
 
 
@@ -199,4 +215,7 @@ def _finish(spark: SparkSession, run_dir: str, summary: dict,
     for stage, key in ((_KEPT, "total_kept"), (_CHUNKS, "total_chunks")):
         out[key] = (read_stage(spark, run_dir, stage).count()
                     if stage_committed(run_dir, stage) else 0)
+    if stage_committed(run_dir, _SKETCH):
+        out["est_distinct_contents"] = round(hll_estimate(
+            read_stage(spark, run_dir, _SKETCH)), 1)
     return out

@@ -48,10 +48,16 @@ def test_incremental_curation_cross_batch_dedup(spark, tmp_path):
     kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
     assert kept == {10, 11, 21}           # doc 5 did NOT displace doc 10
 
+    # corpus telemetry: 4 distinct quality-passing contents ever seen
+    # (docs 10, 11/20 share bytes, 5 is a DIFFERENT byte stream, 21) —
+    # the committed HLL reads them back within linear-counting precision
+    assert 3.9 <= s2["est_distinct_contents"] <= 4.2
+
     # batch 3: redelivery of batch 2 is a complete no-op
     s3 = curate_append(spark, b2, run_dir)
     assert s3["batch_new"] == 0 and s3["batch_kept"] == 0
     assert s3["total_kept"] == 3 and s3["total_chunks"] == s2["total_chunks"]
+    assert s3["est_distinct_contents"] == s2["est_distinct_contents"]
 
 
 @pytest.mark.slow
