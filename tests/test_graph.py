@@ -54,6 +54,50 @@ def test_pagerank_sane_and_deterministic(tiny):
     assert r1["d"] > r1["a"]
 
 
+def _py_ppr(edge_list, seeds, iterations=8, damping=0.85):
+    """Reference power iteration of the identical PPR formulation."""
+    nodes = sorted({n for e in edge_list for n in e})
+    out = {}
+    for u, v in edge_list:
+        out.setdefault(u, []).append(v)
+    live = [s for s in seeds if s in nodes]
+    sw = 1.0 / len(live)
+    s = {n: (sw if n in live else 0.0) for n in nodes}
+    rank = dict(s)
+    for _ in range(iterations):
+        inflow = {n: 0.0 for n in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                inflow[v] += rank[u] / len(vs)
+        dangling = 1.0 - sum(rank[n] for n in nodes if n in out)
+        rank = {n: s[n] * (1 - damping)
+                + damping * (inflow[n] + s[n] * dangling)
+                for n in nodes}
+    return {n: round(r, 6) for n, r in rank.items()}
+
+
+def test_personalized_pagerank_vs_python_and_locality(tiny):
+    """PPR ranks equal a reference Python power iteration of the same
+    formulation; mass stays near the seed's component (the x→y island
+    gets ~0), and ranks sum to ~1. Absent seeds are ignored; an
+    all-absent seed list raises."""
+    from smart_pdf_md_spark.operators.graph import personalized_pagerank
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("x", "y")]
+    # 'ghost' is ignored (absent from the graph) — parity is vs seeds={a}
+    got = {r.node: r.rank
+           for r in personalized_pagerank(tiny, ["a", "ghost"], iterations=5)
+           .collect()}
+    assert got == _py_ppr(edge_list, ["a"], iterations=5)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got["x"] == 0.0 and got["y"] == 0.0     # off-seed island
+    assert got["c"] > got["b"] > 0                 # mass follows the seed
+
+    # an entirely-absent seed list is an error, not a silent zero vector
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(tiny, ["ghost"])
+
+
 @pytest.mark.slow
 def test_kg_pagerank_runs(spark, corpus_sdf):
     from smart_pdf_md_spark.plans.pipeline import build_triples
