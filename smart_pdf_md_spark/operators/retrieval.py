@@ -86,7 +86,15 @@ def bm25_topk(docs: DataFrame | None, queries: DataFrame, k: int = 10,
                              .alias("term")))
     qvocab = qterms.select("term").distinct()
 
-    if postings is None or corpus_stats is None:
+    # the index frames travel as a PAIR (ADVICE r6): postings without stats
+    # used to fall into the inline branch yet keep `tf = hits` (unresolved
+    # column), and stats without postings were silently recomputed from
+    # docs — both half-supplied states now fail loudly at call time.
+    if (postings is None) != (corpus_stats is None):
+        raise ValueError(
+            "postings and corpus_stats must be supplied together "
+            "(both from bm25_index) or both omitted")
+    if postings is None:
         if docs is None:
             raise ValueError("docs is required when postings/corpus_stats "
                              "are not supplied (see bm25_index)")

@@ -67,19 +67,38 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
 
 def hll_estimate(registers: DataFrame, p: int = 12) -> float:
     """Cardinality estimate from a register table (one tiny agg + driver
-    arithmetic on two scalars). Standard HLL with linear counting below
+    arithmetic on a few scalars). Standard HLL with linear counting below
     2.5·m (the Flajolet small-range correction): typical error
-    1.04/√m ≈ 1.6 % at p = 12."""
+    1.04/√m ≈ 1.6 % at p = 12.
+
+    ``p`` must match the ``p`` the registers were built with — the (bucket,
+    rho) table does not record it (schema kept slim/commit-stable), so the
+    one observable inconsistency is validated here (ADVICE r6): a bucket id
+    ≥ 2^p proves the table was built with a LARGER p and the estimate would
+    be silently, badly skewed — that raises. (An equal-p mismatch in the
+    other direction is unobservable from the table; callers committing
+    sketches across runs should commit p in their stage params, as
+    curate_append does via its fixed default.) Dense register tables that
+    materialize rho = 0 rows are also handled: a rho-0 row contributes
+    2^0 = 1 to the harmonic sum exactly like an absent bucket, and counts
+    as a zero register for linear counting."""
     m = 1 << p
     row = registers.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
-        F.count("*").alias("nz")).collect()[0]
-    nz = row.nz or 0
+        F.count("*").alias("nrows"),
+        F.coalesce(F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)),
+                   F.lit(0)).alias("z0"),
+        F.max("bucket").alias("maxb")).collect()[0]
+    if row.maxb is not None and row.maxb >= m:
+        raise ValueError(
+            f"register table has bucket {row.maxb} >= 2^{p}: it was built "
+            f"with a larger p than the p={p} passed to hll_estimate")
+    nrows = row.nrows or 0
     # absent buckets carry register 0 → each contributes 2^0 = 1
-    s = (row.s or 0.0) + (m - nz)
+    s = (row.s or 0.0) + (m - nrows)
     alpha = 0.7213 / (1 + 1.079 / m)  # p >= 7 constant
     e = alpha * m * m / s
-    zeros = m - nz
+    zeros = (m - nrows) + int(row.z0)
     if e <= 2.5 * m and zeros > 0:
         e = m * math.log(m / zeros)  # linear counting
     return float(e)

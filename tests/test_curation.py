@@ -277,3 +277,50 @@ def test_curation_stages_queryable_via_sql_facade(spark, curation_docs,
     assert {"cur_kept", "cur_chunks", "cur_filtered"} <= set(names)
     n = spark.sql("select count(*) as n from cur_chunks").collect()[0].n
     assert n == res["summary"]["chunks"]
+
+
+@pytest.mark.slow
+def test_curation_cap_toggle_rebuilds_scrubbed(spark, tmp_path):
+    """ADVICE r6 (medium): the scrubbed stage's OUTPUT SCHEMA depends on
+    max_per_source/domain_col (the domain column rides along only when
+    capping is on), so toggling the cap on a committed run_dir must
+    REBUILD scrubbed — resuming the no-cap snapshot used to crash
+    cap_per_group with a missing-column AnalysisException, and the reverse
+    direction silently served the stale schema into kept/chunks."""
+    import random
+    rng = random.Random(37)
+    vocab = [f"word{j}" for j in range(500)]
+    rows = []
+    for i in range(10):
+        body = ("the story of it is on a hill and for a day it was good "
+                + " ".join(rng.sample(vocab, 40)))
+        rows.append((i, body, "en", "mega.example"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    run_dir = str(tmp_path / "cur")
+
+    first = run_curation(spark, docs, run_dir)           # no cap
+    assert first["summary"]["after_filter"] == 10
+
+    # no-cap → cap: scrubbed rebuilds (schema gains `source`), cap applies
+    second = run_curation(spark, docs, run_dir, max_per_source=4)
+    assert not second["resumed"]["scrubbed"]
+    assert second["summary"]["after_filter"] == 4
+    assert "source" in second["filtered"].columns
+
+    # same cap again: everything resumes (value change alone does not
+    # invalidate scrubbed — only the schema-relevant extra column does)
+    third = run_curation(spark, docs, run_dir, max_per_source=4)
+    assert third["resumed"]["scrubbed"] and third["resumed"]["filtered"]
+
+    # cap value changes: scrubbed (schema unchanged) resumes, filtered
+    # rebuilds under the new cap
+    fourth = run_curation(spark, docs, run_dir, max_per_source=2)
+    assert fourth["resumed"]["scrubbed"]
+    assert not fourth["resumed"]["filtered"]
+    assert fourth["summary"]["after_filter"] == 2
+
+    # cap → no-cap: scrubbed rebuilds back to the slim schema
+    fifth = run_curation(spark, docs, run_dir)
+    assert not fifth["resumed"]["scrubbed"]
+    assert fifth["summary"]["after_filter"] == 10
+    assert "source" not in fifth["filtered"].columns

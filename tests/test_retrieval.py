@@ -112,3 +112,19 @@ def test_bm25_duckdb_parity(spark):
     """).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_bm25_half_supplied_index_pair_raises(spark):
+    """ADVICE r6: postings without corpus_stats used to fall into the
+    inline branch yet keep `tf = hits` (unresolved-column crash at scoring
+    time); corpus_stats without postings was silently discarded and
+    recomputed. Both half-supplied states now fail loudly at call time."""
+    import pytest
+    from smart_pdf_md_spark.operators.retrieval import bm25_index
+
+    docs, queries, _, _ = _frames(spark)
+    postings, stats = bm25_index(docs)
+    with pytest.raises(ValueError, match="supplied together"):
+        bm25_topk(docs, queries, k=3, postings=postings)
+    with pytest.raises(ValueError, match="supplied together"):
+        bm25_topk(docs, queries, k=3, corpus_stats=stats)

@@ -104,3 +104,25 @@ def test_sketches_commit_roundtrip(spark, stream, tmp_path):
                                        SK.hll_registers(batch2)))
     exact = stream.distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_estimate_validates_p_and_handles_dense_tables(spark, stream):
+    """ADVICE r6: estimating a p=14 register table with the default p=12
+    silently produced a badly skewed cardinality — the observable half of
+    that mismatch (bucket id ≥ 2^p) now raises. And a DENSE register table
+    (rho = 0 rows materialized for every absent bucket, the docstring's
+    valid alternative form) must estimate identically to the sparse one:
+    rho-0 rows count as zero registers for linear counting."""
+    sparse = SK.hll_registers(stream, p=12)
+    with pytest.raises(ValueError, match="larger p"):
+        SK.hll_estimate(SK.hll_registers(stream, p=14), p=12)
+
+    m = 1 << 12
+    dense = spark.range(m).select(F.col("id").cast("int").alias("bucket")) \
+        .join(sparse, "bucket", "left") \
+        .select("bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    est_sparse = SK.hll_estimate(sparse)
+    est_dense = SK.hll_estimate(dense)
+    assert abs(est_dense - est_sparse) < 1e-6
+    exact = stream.distinct().count()
+    assert abs(est_dense - exact) / exact < 0.05
