@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from smart_pdf_md_spark.operators import dedup as D  # noqa: E402
+from smart_pdf_md_spark.operators import lm as LM  # noqa: E402
 from smart_pdf_md_spark.operators import multimodal as MM  # noqa: E402
 from smart_pdf_md_spark.operators import retrieval as R  # noqa: E402
+from smart_pdf_md_spark.operators import sketches as SK  # noqa: E402
 from smart_pdf_md_spark.operators import similarity as SIM  # noqa: E402
 from smart_pdf_md_spark.operators import textstats as TS  # noqa: E402
 from smart_pdf_md_spark.sources.tables import load_table  # noqa: E402
@@ -1258,17 +1260,117 @@ FROM r WHERE q_rank <= 0.8
 """
 
 
+def _unigram_logprob_q(spark, sf):
+    # CCNet-style unigram LM scoring (operators/lm.py:unigram_logprob):
+    # per-doc mean log10 unigram probability under the corpus' own
+    # empirical distribution — exact, so a full oracle pair.
+    return LM.unigram_logprob(_t(spark, sf, "documents"))
+
+
+_UNIGRAM_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents)
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term
+), tf AS (
+  SELECT term, sum(cnt) AS tf FROM per_doc GROUP BY term
+), total AS (SELECT sum(tf) AS total FROM tf)
+SELECT doc_id, CAST(sum(cnt) AS INT) AS n_tokens,
+       round(sum(cnt * log10(tf / total)) / sum(cnt) + 1e-9, 4) AS avg_logprob
+FROM per_doc JOIN tf USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def _ngram_novelty_q(spark, sf):
+    # cross-document 3-gram novelty (operators/dedup.py:ngram_novelty):
+    # Spark hashes grams (xxhash64) before the postings agg, the oracle
+    # compares STRING grams — equal counts pin that hashing is
+    # semantically invisible (the decontaminate discipline).
+    return D.ngram_novelty(_t(spark, sf, "documents"))
+
+
+_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+), dg AS (
+  SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS grams
+  FROM toks
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM dg
+), post AS (
+  SELECT gram, count(*) AS pn FROM g GROUP BY gram
+), shared AS (
+  SELECT doc_id, count(*) AS shared_grams
+  FROM g JOIN post USING (gram) WHERE pn > 1 GROUP BY doc_id
+)
+SELECT doc_id AS id, len(grams) AS n_grams,
+       coalesce(shared_grams, 0) AS shared_grams,
+       CASE WHEN len(grams) = 0 THEN 1.0
+            ELSE round(1.0 - coalesce(shared_grams, 0) * 1.0 / len(grams)
+                       + 1e-9, 4) END AS novelty
+FROM dg LEFT JOIN shared USING (doc_id)
+"""
+
+
+def _cap_per_group_q(spark, sf):
+    # per-domain cap (textstats.cap_per_group — WindowGroupLimit top-n per
+    # key): n_chars is the deterministic quality proxy present in the
+    # synthetic schema; ties break by doc_id on both engines.
+    return TS.cap_per_group(_t(spark, sf, "documents"), "source", n=20,
+                            order_col="n_chars")
+
+
+_CAP_SQL = """
+SELECT doc_id, text, lang, source, n_chars, group_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS INT) AS group_rank
+  FROM documents)
+WHERE group_rank <= 20
+"""
+
+
+def _ann_pq(spark, sf):
+    # PQ ADC+rerank ANN (similarity.py:topk_pq): numpy codebook → not
+    # SQL-expressible → rows-only; recall/determinism gates live in
+    # tests/test_pq.py. Same query set shape as the LSH/IVF rows.
+    emb = _t(spark, sf, "embeddings")
+    return SIM.topk_pq(emb, emb.filter(F.col("vec_id") < 3), k=5,
+                       rerank_from=25)
+
+
+def _hll_documents(spark, sf):
+    # mergeable-sketch path on the driver surface (operators/sketches.py):
+    # the committable (bucket, rho) register table of distinct document
+    # texts, reduced to its cardinality estimate next to the exact count.
+    # xxhash64 has no DuckDB twin → rows-only; the 5%-error and
+    # split-merge≡whole gates live in tests/test_sketches.py.
+    docs = _t(spark, sf, "documents")
+    regs = SK.hll_registers(docs.select("text"), p=12)
+    est = SK.hll_estimate(regs, p=12)
+    exact = docs.select("text").distinct().count()
+    return spark.createDataFrame(
+        [(12, float(round(est, 4)), exact)],
+        "p int, est_distinct double, exact_distinct bigint")
+
+
 _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (_q1_pricing, _Q1_SQL),
     "s1_scan_project": (_s1_scan_project, _S1_SQL),
     "s3_lang_filter": (_s3_lang_filter, _S3_SQL),
-    "s4_include_glob": (_s4_include_glob, _S4_SQL),
-    "s5_exclude_glob": (_s5_exclude_glob, _S5_SQL),
     "p1_textual_predicate": (_p1_textual, _P1_SQL),
     "p2_routing": (_p2_routing, _P2_SQL),
     "a1_run_summary": (_a1_run_summary, _A1_SQL),
     "a2_first_error": (_a2_first_error, _A2_SQL),
-    "a3_lang_stats": (_a3_lang_stats, _A3_SQL),
     "j1_broadcast_join": (_j1_broadcast, _J1_SQL),
     "j4_anti_join": (_j4_anti, _J4_SQL),
     "j5_semi_join": (_j5_semi, _J5_SQL),
@@ -1299,7 +1401,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "g2_degrees": (_g2_degrees, _G2_SQL),
     "kg_pagerank": (_kg_pagerank, None),
     "dedup_minhash_lsh": (_dedup_minhash, None),
-    "ann_topk_lsh": (_ann_lsh, None),
     # r4 board rotation (r3 VERDICT next-round #1): the 50-slot cap forces
     # swaps, not appends — w2_running_sum (window machinery pinned by w1/w3),
     # mm_frame_sample (multimodal scan path pinned by mm_media_meta) and
@@ -1320,7 +1421,6 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     # never swept rotate ON; retired builders stay defined for tests.
     "repetition_stats": (_repetition_stats, _REPETITION_SQL),
     "triangle_count": (_triangle_count, _TRIANGLE_SQL),
-    "dedup_clusters": (_dedup_clusters_q, None),
     "curation_chunks": (_curation_chunks, None),
     # r6 board rotation (r5 VERDICT next-round #1/#2) — the 50-slot cap
     # forces swaps: f2_string_funcs OFF (scalar-function machinery pinned
@@ -1332,6 +1432,23 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (_bm25_topk_q, _BM25_SQL),
     "decontaminate": (_decontaminate_q, _DECONTAM_SQL),
     "adaptive_quality_filter": (_adaptive_quality_q, _ADAPTIVE_SQL),
+    # r7 board rotation (r6 VERDICT next-round #2/#3/#7) — the 50-slot cap
+    # forces swaps. OFF: a3_lang_stats (the lang expression family is
+    # pinned by text_quality_score + s3's lang filter), s4_include_glob /
+    # s5_exclude_glob (glob semantics stay pinned by
+    # test_pipeline_pr.py::test_include_exclude_globs; the scan path by
+    # s1), ann_topk_lsh (the hyperplane-LSH family keeps its recall gate
+    # in tests; IVF + PQ now carry the ANN rows-only slots), and
+    # dedup_clusters (exact CC tests + the kg_canonical_triples row pin
+    # the clustering machinery). ON: the three round-6 operators whose
+    # DuckDB parity SQL already existed in tests — now full oracle rows —
+    # plus the PQ and mergeable-sketch paths as rows-only driver rows.
+    # Retired builders stay defined for tests and callers.
+    "unigram_logprob": (_unigram_logprob_q, _UNIGRAM_SQL),
+    "ngram_novelty": (_ngram_novelty_q, _NOVELTY_SQL),
+    "cap_per_group": (_cap_per_group_q, _CAP_SQL),
+    "ann_topk_pq": (_ann_pq, None),
+    "hll_documents": (_hll_documents, None),
 }
 
 

@@ -476,3 +476,92 @@ def k_core(triples: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         return alive  # max_iter cap: conservative (possibly un-peeled) core
     finally:
         base.unpersist()
+
+
+def neighborhood_function(triples: DataFrame, t_max: int = 8, p: int = 8,
+                          undirected: bool = True,
+                          rel_tol: float = 1e-3) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna, "HyperANF: Approximating the
+    Neighbourhood Function of Very Large Graphs on a Budget", WWW 2011):
+    → (t, nf_est) for t = 0..≤t_max, where nf(t) ≈ Σ_u |B(u, t)| — the
+    number of (ordered) pairs within distance t, self included. The
+    distance-distribution summary (and, via :func:`effective_diameter`,
+    the classic small-world statistic) of a graph too large for exact
+    all-pairs BFS.
+
+    Each vertex carries a 2^p-register HLL sketch of its ball — the
+    mergeable register-table encoding of operators/sketches.py, one
+    (node, bucket, rho) row per occupied register. A round is pure
+    DataFrame algebra: neighbors' registers ride the edge join, then one
+    groupBy(node, bucket) max — HLL union IS max, which also makes every
+    round idempotent and partitioning-invariant. Per-node estimates (the
+    sketches.hll_estimate arithmetic, linear-counting branch included)
+    are computed IN COLUMNS by a groupBy(node) — only the per-round nf
+    scalar reaches the driver. Stops early when nf grows by < ``rel_tol``
+    (the ball system saturated ≈ at the diameter).
+
+    Scale shape: per-round shuffle is O(edges × avg occupied registers)
+    — p trades accuracy (1.04/√2^p) against that multiplier; sketches,
+    not node sets, are what make t_max rounds affordable where exact
+    frontier BFS from EVERY vertex would square. State is checkpointed
+    per round (the cc.py discipline)."""
+    from .sketches import _rho_col
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    edges = _edge_set(triples, undirected)
+    spark = triples.sparkSession
+    par = max(spark.sparkContext.defaultParallelism // 4, 1)
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    h = F.xxhash64(F.col("node"), F.lit("hyperanf_v1"))
+    state = nodes.select(
+        "node",
+        F.shiftrightunsigned(h, 64 - p).cast("int").alias("bucket"),
+        _rho_col(h, p).alias("rho")).localCheckpoint(eager=True)
+
+    def _nf(st: DataFrame) -> float:
+        per_node = st.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+            F.count("*").alias("nrows"))
+        raw = alpha * m * m / (F.col("s") + (m - F.col("nrows")))
+        lin = m * F.log(F.lit(float(m)) / (m - F.col("nrows")))
+        est = F.when((raw <= 2.5 * m) & (F.col("nrows") < m), lin) \
+            .otherwise(raw)
+        return float(per_node.agg(F.sum(est)).collect()[0][0])
+
+    out = [(0, round(_nf(state), 1))]
+    try:
+        for t in range(1, t_max + 1):
+            nbr = (edges.join(state.withColumnRenamed("node", "dst"), "dst")
+                   .select(F.col("src").alias("node"), "bucket", "rho"))
+            state = (state.unionByName(nbr)
+                     .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+                     .coalesce(par).localCheckpoint(eager=True))
+            nf_t = round(_nf(state), 1)
+            out.append((t, nf_t))
+            if nf_t <= out[-2][1] * (1 + rel_tol):
+                break
+        return spark.createDataFrame(out, "t int, nf_est double")
+    finally:
+        edges.unpersist()
+
+
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
+    """The q-effective diameter from a neighborhood_function table: the
+    (linearly interpolated) smallest t at which nf(t) reaches q · nf(last)
+    — HyperANF's headline statistic. Driver arithmetic on the ≤t_max-row
+    result."""
+    rows = sorted((r.t, r.nf_est) for r in nf.collect())
+    target = q * rows[-1][1]
+    prev_t, prev_v = rows[0]
+    if prev_v >= target:
+        return float(prev_t)
+    for t, v in rows[1:]:
+        if v >= target:
+            if v == prev_v:
+                return float(t)
+            return prev_t + (target - prev_v) / (v - prev_v)
+        prev_t, prev_v = t, v
+    return float(rows[-1][0])

@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 from .textstats import tokens_col
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+def unigram_logprob(docs: DataFrame | None, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    postings: DataFrame | None = None) -> DataFrame:
     """→ (doc_id, n_tokens, avg_logprob) — the mean log10 unigram
     probability of the document's tokens under the corpus' own empirical
     unigram distribution (maximum-likelihood, no smoothing needed: every
@@ -48,11 +49,20 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     scoring join + weighted mean move per-doc-distinct rows — the token
     stream itself never crosses the wire. The (doc_id, term, cnt) shape
     is exactly retrieval.bm25_index's postings table: at 10^12 files
-    materialize it once and feed both."""
-    toks = tokens_col(F.col(text_col))
-    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode(toks).alias("term"))
-               .groupBy("doc_id", "term").agg(F.count("*").alias("cnt")))
+    materialize it once and feed both — pass that table as ``postings``
+    (its ``tf`` column is the count; ``docs`` is then unused and may be
+    None) and the corpus is never re-exploded for a repeat scoring run."""
+    if postings is not None:
+        per_doc = postings.select("doc_id", "term",
+                                  F.col("tf").alias("cnt"))
+    else:
+        if docs is None:
+            raise ValueError("docs is required when postings is not "
+                             "supplied (see retrieval.bm25_index)")
+        toks = tokens_col(F.col(text_col))
+        per_doc = (docs.select(F.col(id_col).alias("doc_id"),
+                               F.explode(toks).alias("term"))
+                   .groupBy("doc_id", "term").agg(F.count("*").alias("cnt")))
     tf = per_doc.groupBy("term").agg(F.sum("cnt").alias("tf"))
     total = tf.agg(F.sum("tf").alias("total"))
     return (per_doc.join(tf, "term")
@@ -66,7 +76,8 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
 
 def ppl_buckets(docs: DataFrame, by: str = "lang",
                 head: float = 0.33, middle: float = 0.66,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                text_col: str = "text", id_col: str = "doc_id",
+                postings: DataFrame | None = None) -> DataFrame:
     """→ input columns + (avg_logprob, ppl_rank, ppl_bucket) — CCNet's
     head/middle/tail split, exact: within each `by` stratum, rank docs by
     avg_logprob DESC (least surprising first; ties by doc_id) and label
@@ -79,8 +90,10 @@ def ppl_buckets(docs: DataFrame, by: str = "lang",
     — the document stream (text and friends) never enters the window
     sort's exchange and crosses the wire exactly once, in the final
     label-reattachment join (which AQE broadcasts whenever the label side
-    fits)."""
-    slim = (unigram_logprob(docs, text_col, id_col)
+    fits). A prebuilt ``postings`` table (retrieval.bm25_index) skips the
+    corpus re-explosion exactly as in :func:`unigram_logprob`; ``docs``
+    is still needed for the stratum column and the final reattach."""
+    slim = (unigram_logprob(docs, text_col, id_col, postings=postings)
             .withColumnRenamed("doc_id", id_col).drop("n_tokens")
             .join(docs.select(id_col, by), id_col))
     w = Window.partitionBy(by).orderBy(F.desc("avg_logprob"), id_col)

@@ -135,3 +135,50 @@ def bm25_topk(docs: DataFrame | None, queries: DataFrame, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def tfidf_keywords(docs: DataFrame | None, k: int = 5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   postings: DataFrame | None = None,
+                   corpus_stats: DataFrame | None = None) -> DataFrame:
+    """→ (doc_id, term, tfidf, rank) — the k most distinctive terms per
+    document under smoothed TF-IDF: tfidf = (tf/dl) · (ln((N+1)/(df+1))+1)
+    (the sklearn-style smooth idf, always positive so single-term docs
+    still rank). The per-doc keyword summary a corpus curator reads to
+    label near-dup clusters, audit domain caps, or build weak topic
+    labels — the document-centric complement of bm25_topk's query-centric
+    ranking. Ties break by term ASC; scores round to 4 decimals with the
+    repo's +1e-9 epsilon (ANSI-expressible end to end — DuckDB parity in
+    tests/test_retrieval.py).
+
+    Accepts the SAME prebuilt index pair as :func:`bm25_topk`
+    (``postings``/``corpus_stats`` from :func:`bm25_index`, supplied
+    together) — one materialized postings table serves search, LM scoring
+    (lm.unigram_logprob) and keyword extraction.
+
+    Scale shape: document frequencies come from a map-side-combinable
+    groupBy over the postings relation joined back on ``term`` — a
+    vocabulary-sized build side, NEVER a per-term window (a window
+    partition for a stopword term would hold one row per document); the
+    stopword-skewed join key is the AQE skew-join case. Top-k per doc is
+    a WindowGroupLimit sort (top-k heap per doc, no full materialization).
+    """
+    if (postings is None) != (corpus_stats is None):
+        raise ValueError(
+            "postings and corpus_stats must be supplied together "
+            "(both from bm25_index) or both omitted")
+    if postings is None:
+        if docs is None:
+            raise ValueError("docs is required when postings/corpus_stats "
+                             "are not supplied (see bm25_index)")
+        postings, corpus_stats = bm25_index(docs, text_col, id_col)
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (postings.join(dfreq, "term")
+              .crossJoin(F.broadcast(corpus_stats))
+              .select("doc_id", "term",
+                      F.round((F.col("tf") / F.col("dl")) * idf + 1e-9, 4)
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

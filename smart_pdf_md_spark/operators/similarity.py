@@ -388,3 +388,105 @@ def mean_pool(emb: DataFrame, group_col: str, vec_col: str = "embedding",
         arr = F.when(nrm > 0, F.transform(arr, lambda x: x / nrm)) \
             .otherwise(arr)
     return pooled.select(group_col, "n_vecs", arr.alias(vec_col))
+
+
+# drop counters of the most recent semdedup run — the
+# LAST_BAND_DROP_METRICS discipline: an oversized cluster is observable,
+# never silently quadratic.
+LAST_SEMDEDUP_METRICS: dict[str, int] = {}
+
+
+def semdedup(emb: DataFrame, eps: float = 0.05,
+             n_lists: int = 16, n_iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, centroids: np.ndarray | None = None,
+             max_cluster: int = 4096,
+             metrics: dict | None = None) -> DataFrame:
+    """Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then inside
+    each cluster drop vectors whose cosine similarity to an already-kept
+    vector exceeds 1−eps. One row per input vector:
+    (id, list_id, is_keeper, keeper_id, sim_to_keeper) — ``is_keeper``
+    filtered is the semantically-deduped corpus; keepers point to
+    themselves with sim 1.0.
+
+    Deterministic at any parallelism: the codebook is ivf_train's seeded
+    Lloyd's (train on a ``sample_mod`` sliver at scale), and the in-cluster
+    greedy scan runs in (distance-to-centroid DESC, id) order — farthest
+    from the centroid first, so of a duplicate group the example LEAST
+    typical of its cluster is kept, the paper's low-centroid-similarity
+    keeper choice.
+
+    Scale shape: the only shuffle is the groupBy(list_id) feeding
+    applyInPandas — O(n·dim) Arrow traffic partitioned by cluster; no
+    pairwise relation ever materializes (the greedy scan is a numpy
+    matmul against the cluster's KEPT set only). Clusters beyond
+    ``max_cluster`` rows dedupe their first ``max_cluster`` scan-order
+    rows and pass the overflow through as keepers, with COUNTED drops
+    (``metrics`` / LAST_SEMDEDUP_METRICS) — at real scale raise
+    ``n_lists`` so clusters bound, exactly like linking's MAX_BUCKET."""
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_train(emb, n_lists, n_iters, id_col, vec_col, dim)
+    cb = centroids
+    assigned = (ivf_assign(emb, centroids, id_col, vec_col)
+                .select("id", "list_id", "v"))
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("is_keeper", T.BooleanType()),
+        T.StructField("keeper_id", T.LongType()),
+        T.StructField("sim_to_keeper", T.DoubleType()),
+        T.StructField("overflow", T.IntegerType()),
+    ])
+    thresh = 1.0 - eps
+    cap = max_cluster
+
+    def dedupe_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        lid = int(pdf["list_id"].iloc[0])
+        vs = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vs, axis=1)
+        unit = vs / np.where(norms == 0, 1.0, norms)[:, None]
+        d2 = ((vs - cb[lid]) ** 2).sum(axis=1)
+        order = np.lexsort((pdf["id"].to_numpy(), -d2))  # dist DESC, id ASC
+        kept_rows: list[int] = []
+        out = np.zeros((len(pdf), 3))  # is_keeper, keeper_id, sim
+        ids = pdf["id"].to_numpy()
+        for rank, i in enumerate(order):
+            if rank >= cap:  # overflow passes through as keeper, counted
+                out[i] = (1, ids[i], 1.0)
+                continue
+            if kept_rows:
+                sims = unit[kept_rows] @ unit[i]
+                j = int(np.argmax(sims))
+                if sims[j] > thresh:
+                    out[i] = (0, ids[kept_rows[j]],
+                              round(float(sims[j]) + 1e-9, 4))
+                    continue
+            kept_rows.append(i)
+            out[i] = (1, ids[i], 1.0)
+        return pd.DataFrame({
+            "id": ids, "list_id": lid,
+            "is_keeper": out[:, 0].astype(bool),
+            "keeper_id": out[:, 1].astype(np.int64),
+            "sim_to_keeper": out[:, 2],
+            "overflow": max(0, len(pdf) - cap)})
+
+    res = (assigned.groupBy("list_id").applyInPandas(dedupe_cluster, schema)
+           .localCheckpoint(eager=True))
+    # `overflow` repeats the cluster's count on every row — max per
+    # cluster, then total
+    n_over = (res.groupBy("list_id").agg(F.max("overflow").alias("o"))
+              .agg(F.coalesce(F.sum("o"), F.lit(0))).collect()[0][0])
+    stats = {"overflow_rows": int(n_over)}
+    LAST_SEMDEDUP_METRICS.clear()
+    LAST_SEMDEDUP_METRICS.update(stats)
+    if metrics is not None:
+        metrics.update(stats)
+    if n_over:
+        import sys
+        print(f"[semdedup] {n_over} rows passed through undeduped in "
+              f"clusters over max_cluster={max_cluster}", file=sys.stderr)
+    return res.drop("overflow")

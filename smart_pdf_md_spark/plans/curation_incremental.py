@@ -10,6 +10,12 @@ State, all through plans/manifests (same Iceberg-shaped commit layer):
                    reusable probe target — new batches band-join against
                    these, so dedup cost is O(batch × collision rate),
                    never O(history)).
+    cur_bands      the slim (doc_id, band, band_hash) LSH index half of
+                   cur_filtered, stored clustered by (band, band_hash)
+                   (the Iceberg bucket(band_hash) analogue): the history
+                   side of each batch's band join is a co-located
+                   3-column read — history signatures are never re-banded
+                   (legacy run_dirs backfill it once, transparently).
     cc_labels      near-dup cluster labels via streaming/graph_stats.
                    update_cc_state star compression — transitively exact
                    across batches (a new doc that bridges two old clusters
@@ -44,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    minhash_band_table,
     minhash_doc_signatures,
     minhash_pairs_from_signatures,
 )
@@ -61,6 +68,7 @@ from .manifests import commit_stage, read_stage, stage_committed
 _FILTERED, _KEPT, _CHUNKS, _DONE = ("cur_filtered", "cur_kept",
                                     "cur_chunks", "cur_processed")
 _SKETCH = "cur_content_hll"
+_BANDS = "cur_bands"
 
 
 def curate_append(
@@ -120,14 +128,38 @@ def curate_append(
     prev_filtered = (read_stage(spark, run_dir, _FILTERED)
                      if stage_committed(run_dir, _FILTERED) else None)
 
-    # near-dup channel: new sigs vs (history ∪ batch) signatures
+    # near-dup channel: new sigs vs (history ∪ batch) signatures. The
+    # history side of the band join reads the COMMITTED cur_bands stage
+    # (r6 VERDICT next-round #5) — a 3-column (doc_id, band, band_hash)
+    # relation written clustered by (band, band_hash), so history
+    # signatures are never re-banded per batch and the join's history
+    # input is the storage-layout analogue of an Iceberg bucket(band_hash)
+    # read. History SIGNATURES are touched only by the candidate-sized
+    # rescore joins inside minhash_pairs_from_signatures.
     sigs_batch = new_filtered.filter("sig is not null") \
         .select(F.col("doc_id").alias("id"), "sig")
+    bands_batch = minhash_band_table(sigs_batch).localCheckpoint(eager=True)
     sigs_all = sigs_batch if prev_filtered is None else sigs_batch.unionByName(
         prev_filtered.filter("sig is not null")
         .select(F.col("doc_id").alias("id"), "sig"))
+    backfill = None
+    if prev_filtered is not None and not stage_committed(run_dir, _BANDS):
+        # legacy run_dir (pre-cur_bands): band the committed history ONCE
+        # and store it below — every later batch then reads cur_bands
+        backfill = minhash_band_table(
+            prev_filtered.filter("sig is not null")
+            .select(F.col("doc_id").alias("id"), "sig"))
+    if stage_committed(run_dir, _BANDS):
+        bands_all = bands_batch.unionByName(
+            read_stage(spark, run_dir, _BANDS)
+            .withColumnRenamed("doc_id", "id"))
+    elif backfill is not None:
+        bands_all = bands_batch.unionByName(backfill)
+    else:
+        bands_all = bands_batch
     pairs = minhash_pairs_from_signatures(sigs_batch, sigs_all,
-                                          dedup_threshold) \
+                                          dedup_threshold,
+                                          bands_all=bands_all) \
         .select("id_a", "id_b")
     # exact channel: byte-identical content (covers sub-3-token docs too)
     hash_all = new_filtered.select("doc_id", "content_hash") if prev_filtered \
@@ -188,6 +220,16 @@ def curate_append(
                      else "overwrite")
 
     _append_new(new_filtered, _FILTERED, ["doc_id"])
+    # the reusable LSH index half: batch band rows, stored CLUSTERED by
+    # the join key (repartition on (band, band_hash) before the write —
+    # the sandbox analogue of an Iceberg bucket(band_hash) transform), so
+    # the next batch's band join reads co-located slim files instead of
+    # re-banding every historical signature
+    bands_store = bands_batch if backfill is None \
+        else bands_batch.unionByName(backfill)
+    _append_new(bands_store.withColumnRenamed("id", "doc_id")
+                .repartition(8, "band", "band_hash"),
+                _BANDS, ["doc_id", "band"])
     _append_new(new_kept.select("doc_id", "lang"), _KEPT, ["doc_id"])
     _append_new(chunk_documents(new_kept, chunk_tokens=chunk_tokens,
                                 overlap=overlap),

@@ -61,6 +61,45 @@ def test_incremental_curation_cross_batch_dedup(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_incremental_bands_stage_committed_and_legacy_backfill(spark,
+                                                               tmp_path):
+    """r6 VERDICT next-round #5: each batch commits its slim
+    (doc_id, band, band_hash) rows to cur_bands, and a LEGACY run_dir
+    (history in cur_filtered but no cur_bands — any pre-r7 run) is
+    backfilled transparently on the next batch: near-dup detection against
+    the old history still works, and the stage then covers history too."""
+    import shutil
+
+    from smart_pdf_md_spark.plans.manifests import read_stage, stage_committed
+
+    run_dir = str(tmp_path / "inc")
+    s1 = curate_append(spark, _docs(spark, [(10, _good("a"), "en"),
+                                            (11, _good("b"), "en")]), run_dir)
+    assert s1["batch_kept"] == 2
+    assert stage_committed(run_dir, "cur_bands")
+    bands1 = read_stage(spark, run_dir, "cur_bands")
+    assert set(bands1.columns) == {"doc_id", "band", "band_hash"}
+    assert {r.doc_id for r in bands1.select("doc_id").distinct().collect()} \
+        == {10, 11}
+
+    # simulate a pre-cur_bands run_dir: drop the stage entirely
+    shutil.rmtree(str(tmp_path / "inc" / "cur_bands"))
+    assert not stage_committed(run_dir, "cur_bands")
+
+    # near-dup of doc 10 arrives — it must still be caught (via the
+    # one-time backfill), and the recommitted stage covers history + batch
+    near_dup = _good("a").replace(" a3 ", " zz3 ")
+    s2 = curate_append(spark, _docs(spark, [(20, near_dup, "en"),
+                                            (21, _good("c"), "en")]), run_dir)
+    assert s2["batch_kept"] == 1          # 20 deduped against history
+    kept = {r.doc_id for r in read_stage(spark, run_dir, "cur_kept").collect()}
+    assert kept == {10, 11, 21}
+    bands2 = read_stage(spark, run_dir, "cur_bands")
+    assert {r.doc_id for r in bands2.select("doc_id").distinct().collect()} \
+        == {10, 11, 20, 21}
+
+
+@pytest.mark.slow
 def test_incremental_curation_exact_channel_short_docs(spark, tmp_path):
     """Sub-3-token docs have no MinHash signature; byte-identical ones must
     still dedupe across batches through the content-hash channel."""

@@ -254,3 +254,29 @@ def test_iterative_graph_edges_keep_natural_partitioning(spark):
             assert e.storageLevel.useMemory  # columnar InMemoryRelation
         finally:
             e.unpersist()
+
+
+def test_hyperanf_neighborhood_function_and_effective_diameter(spark):
+    """HyperANF on the 4-path: per-t estimates within sketch error of the
+    exact neighborhood function (4, 10, 14, 16 ordered pairs at t=0..3),
+    monotone, saturating at the diameter; the 0.9-effective diameter
+    interpolates between t=2 and t=3."""
+    from smart_pdf_md_spark.operators.graph import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    triples = spark.createDataFrame(
+        [(f"n{i}", "linksTo", f"n{i+1}") for i in range(1, 4)],
+        ["subj", "pred", "obj"])
+    nf = neighborhood_function(triples, t_max=6, p=8, undirected=True)
+    vals = dict((r.t, r.nf_est) for r in nf.collect())
+    exact = {0: 4.0, 1: 10.0, 2: 14.0, 3: 16.0}
+    assert set(exact) <= set(vals)          # early-stop no sooner than t=3
+    for t, e in exact.items():
+        assert abs(vals[t] - e) / e < 0.06, (t, vals[t])
+    ts = sorted(vals)
+    assert all(vals[a] <= vals[b] + 1e-9
+               for a, b in zip(ts, ts[1:]))
+    ed = effective_diameter(nf, q=0.9)
+    assert 2.0 <= ed <= 3.0

@@ -60,7 +60,7 @@ ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
 # parity gate the default selection must keep (r4 VERDICT #8); rows-only
 # queries only prove "runs + canonicalizes", which the driver's own sweep
 # exercises every round anyway. One light rows-only smoke per family stays.
-_SLOW_ROWS_ONLY = {"curation_chunks", "ann_topk_ivf", "ann_topk_lsh"}
+_SLOW_ROWS_ONLY = {"curation_chunks", "ann_topk_ivf", "ann_topk_pq"}
 ROWS_ONLY = [
     pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ROWS_ONLY else n
     for n in sorted(set(entrymod.queries()) - set(ORACLE_NAMES))

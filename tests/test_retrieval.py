@@ -128,3 +128,63 @@ def test_bm25_half_supplied_index_pair_raises(spark):
         bm25_topk(docs, queries, k=3, postings=postings)
     with pytest.raises(ValueError, match="supplied together"):
         bm25_topk(docs, queries, k=3, corpus_stats=stats)
+
+
+def test_tfidf_keywords_semantics_and_duckdb_parity(spark, ddb=None):
+    """Top-k distinctive terms per doc: corpus-wide words (df=N) rank below
+    doc-specific ones; full DuckDB parity on the smoothed-idf formula;
+    prebuilt bm25_index pair ≡ inline; half-supplied pair raises."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from smart_pdf_md_spark.operators.retrieval import bm25_index, tfidf_keywords
+
+    docs, _, docs_pd, _ = _frames(spark)
+    out = tfidf_keywords(docs, k=3)
+    rows = {(r.doc_id, r.rank): r.term for r in out.collect()}
+    # 'spark' appears in 3 of 4 non-empty docs — never the #1 keyword of
+    # doc 1, whose uniquer terms (shuffle) outrank it
+    assert rows[(1, 1)] == "shuffle"
+    # the pasta doc's terms all tie (df=1, tf=1) → term-ASC break
+    assert rows[(4, 1)] == "about"
+    assert (5, 1) not in rows                      # empty doc: no row
+
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    want = con.execute(r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        FROM base WHERE len(toks) > 0)
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs FROM base WHERE len(toks) > 0),
+    scored AS (
+      SELECT doc_id, term,
+             round((tf * 1.0 / dl) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                   + 1e-9, 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """).df().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    got = out.toPandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+    postings, stats = bm25_index(docs)
+    prebuilt = tfidf_keywords(None, k=3, postings=postings,
+                              corpus_stats=stats).toPandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, prebuilt, check_dtype=False)
+
+    with pytest.raises(ValueError, match="supplied together"):
+        tfidf_keywords(docs, postings=postings)
