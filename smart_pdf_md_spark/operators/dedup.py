@@ -714,3 +714,133 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.95,
                 F.round(dot / (F.col("a.nrm") * F.col("b.nrm")) + 1e-9, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# truncation counter of the most recent duplicate_spans run (the
+# LAST_BAND_DROP_METRICS discipline)
+LAST_SPAN_METRICS: dict[str, int] = {}
+
+
+def duplicate_spans(docs: DataFrame, pairs: DataFrame, min_len: int = 50,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    max_text_chars: int = 200_000,
+                    metrics: dict | None = None) -> DataFrame:
+    """Exact duplicated CHARACTER spans between candidate pairs — the
+    verified form of the exact-substring dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    repeated spans ≥ some length, not whole near-dup docs). For each
+    (id_a, id_b) candidate pair, emits the matching blocks of a
+    deterministic optimal-alignment diff with length ≥ ``min_len``:
+    (id_a, id_b, start_a, start_b, length) — character offsets into each
+    text. Feed :func:`span_coverage` to turn spans into per-doc duplicated-
+    character fractions.
+
+    Candidates come from any pair operator (winnow_containment_pairs is
+    the natural producer — its SIGMOD'03 guarantee finds every shared run
+    ≥ n+window−1 tokens); this operator never generates pairs itself, so
+    the expensive exact matching is CANDIDATE-BOUNDED by construction —
+    the suffix-array sort of the original paper re-expressed as
+    LSH-candidates + per-pair verification, which is the join-shaped
+    version a DataFrame engine executes well.
+
+    Shape: two equi-joins attach both texts to the pair relation (pair-
+    bounded rows; text crosses the wire once per pair side), then an
+    Arrow-batched mapInPandas runs difflib.SequenceMatcher
+    (autojunk=False — deterministic, stdlib) per pair. Matching blocks
+    are the maximal non-crossing common substrings of ONE optimal
+    alignment — crossing repeats are reported once, which is what a
+    span-removal pass needs. Texts above ``max_text_chars`` are truncated
+    with COUNTED drops (LAST_SPAN_METRICS / ``metrics``)."""
+    from pyspark.sql import types as T
+
+    a = docs.select(F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("_tb"))
+    cand = (pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+            .join(a, "id_a").join(b, "id_b")
+            .withColumn("_trunc",
+                        (F.length("_ta") > max_text_chars).cast("int") +
+                        (F.length("_tb") > max_text_chars).cast("int")))
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("start_a", T.IntegerType()),
+        T.StructField("start_b", T.IntegerType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("_trunc", T.IntegerType()),
+    ])
+    cap = max_text_chars
+
+    def match_pairs(batches):
+        import difflib
+
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for ia, ib, ta, tb, trunc in zip(pdf["id_a"], pdf["id_b"],
+                                             pdf["_ta"], pdf["_tb"],
+                                             pdf["_trunc"]):
+                sm = difflib.SequenceMatcher(None, ta[:cap], tb[:cap],
+                                             autojunk=False)
+                for blk in sm.get_matching_blocks():
+                    if blk.size >= min_len:
+                        out.append((ia, ib, blk.a, blk.b, blk.size, trunc))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    res = cand.mapInPandas(match_pairs, schema).localCheckpoint(eager=True)
+    # _trunc repeats per span of a truncated pair: count truncated PAIRS
+    n_trunc = (cand.agg(F.coalesce(
+        F.sum((F.col("_trunc") > 0).cast("int")), F.lit(0))
+        .cast("long")).collect()[0][0])
+    stats = {"truncated_pairs": int(n_trunc)}
+    LAST_SPAN_METRICS.clear()
+    LAST_SPAN_METRICS.update(stats)
+    if metrics is not None:
+        metrics.update(stats)
+    return res.drop("_trunc")
+
+
+def span_coverage(docs: DataFrame, spans: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (id, n_chars, dup_chars, dup_fraction) — per document, the
+    fraction of characters covered by ANY duplicate span (either side of
+    :func:`duplicate_spans` output): the per-doc statistic a span-removal
+    or doc-drop policy thresholds on. Docs in no span emit dup_chars 0.
+
+    Interval-union via the classic island window — sort a doc's spans by
+    start, a span opens a new island when it starts past the running max
+    end, covered = Σ island extents. Pure Columns + one window partitioned
+    by doc (spans are near-dup-bounded, so the window input is small);
+    ANSI-expressible end to end."""
+    sides = (spans.select(F.col("id_a").alias("id"),
+                          F.col("start_a").alias("start"),
+                          (F.col("start_a") + F.col("length")).alias("end"))
+             .unionByName(
+                 spans.select(F.col("id_b").alias("id"),
+                              F.col("start_b").alias("start"),
+                              (F.col("start_b") + F.col("length"))
+                              .alias("end"))))
+    w_prev = (Window.partitionBy("id").orderBy("start", "end")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    islanded = (sides
+                .withColumn("_pmax", F.max("end").over(w_prev))
+                .withColumn("_new", (F.col("_pmax").isNull() |
+                                     (F.col("start") > F.col("_pmax")))
+                            .cast("int"))
+                .withColumn("_island", F.sum("_new").over(
+                    Window.partitionBy("id").orderBy("start", "end")
+                    .rowsBetween(Window.unboundedPreceding, 0))))
+    covered = (islanded.groupBy("id", "_island")
+               .agg((F.max("end") - F.min("start")).alias("_ext"))
+               .groupBy("id").agg(F.sum("_ext").alias("dup_chars")))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.length(text_col).alias("n_chars"))
+    return (base.join(covered, "id", "left")
+            .select("id", "n_chars",
+                    F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"))
+            .withColumn("dup_fraction",
+                        F.when(F.col("n_chars") == 0, F.lit(0.0))
+                        .otherwise(F.round(F.col("dup_chars") /
+                                           F.col("n_chars") + 1e-9, 4))))

@@ -565,3 +565,77 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
             return prev_t + (target - prev_v) / (v - prev_v)
         prev_t, prev_v = t, v
     return float(rows[-1][0])
+
+
+def harmonic_centrality_approx(triples: DataFrame, t_max: int = 8,
+                               p: int = 10,
+                               undirected: bool = True) -> DataFrame:
+    """→ (node, centrality) — approximate harmonic centrality
+    H(u) = Σ_{v≠u} 1/d(u, v), the distance-based importance measure that
+    (unlike closeness) is well-defined on disconnected graphs (Boldi &
+    Vigna, "Axioms for Centrality", Internet Math. 2014 — computed there
+    exactly via the same HyperBall machinery used here). Estimated from
+    HyperANF ball sketches: H(u) ≈ Σ_t (|B(u,t)| − |B(u,t−1)|) / t.
+
+    Same round shape as :func:`neighborhood_function` (edge join +
+    groupBy-max register union, per-node estimates in Columns), plus one
+    slim (node, est) join per round to accumulate the telescoping sum;
+    estimator jitter can make a per-round delta slightly negative, which
+    is clamped at 0 (ball sizes are monotone by construction). Stops
+    early when no node's ball grew (sum of deltas = 0)."""
+    from .sketches import _rho_col
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    edges = _edge_set(triples, undirected)
+    spark = triples.sparkSession
+    par = max(spark.sparkContext.defaultParallelism // 4, 1)
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    h = F.xxhash64(F.col("node"), F.lit("hyperanf_v1"))
+    state = nodes.select(
+        "node",
+        F.shiftrightunsigned(h, 64 - p).cast("int").alias("bucket"),
+        _rho_col(h, p).alias("rho")).localCheckpoint(eager=True)
+
+    def _per_node_est(st: DataFrame) -> DataFrame:
+        agg = st.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+            F.count("*").alias("nrows"))
+        raw = alpha * m * m / (F.col("s") + (m - F.col("nrows")))
+        lin = m * F.log(F.lit(float(m)) / (m - F.col("nrows")))
+        est = F.when((raw <= 2.5 * m) & (F.col("nrows") < m), lin) \
+            .otherwise(raw)
+        return agg.select("node", est.alias("est"))
+
+    prev = _per_node_est(state).coalesce(par).localCheckpoint(eager=True)
+    hc = prev.select("node", F.lit(0.0).alias("centrality")) \
+        .coalesce(par).localCheckpoint(eager=True)
+    try:
+        for t in range(1, t_max + 1):
+            nbr = (edges.join(state.withColumnRenamed("node", "dst"), "dst")
+                   .select(F.col("src").alias("node"), "bucket", "rho"))
+            state = (state.unionByName(nbr)
+                     .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+                     .coalesce(par).localCheckpoint(eager=True))
+            cur = _per_node_est(state).coalesce(par).localCheckpoint(eager=True)
+            delta = (cur.join(prev.withColumnRenamed("est", "prev_est"),
+                              "node")
+                     .select("node",
+                             F.greatest(F.col("est") - F.col("prev_est"),
+                                        F.lit(0.0)).alias("d")))
+            grew = delta.agg(F.sum("d")).collect()[0][0] or 0.0
+            hc = (hc.join(delta, "node")
+                  .select("node",
+                          (F.col("centrality") + F.col("d") / t)
+                          .alias("centrality"))
+                  .coalesce(par).localCheckpoint(eager=True))
+            prev = cur
+            if grew <= 0.0:
+                break
+        return hc.select("node",
+                         F.round(F.col("centrality") + 1e-9, 4)
+                         .alias("centrality"))
+    finally:
+        edges.unpersist()

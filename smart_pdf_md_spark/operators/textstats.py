@@ -10,6 +10,7 @@ stage: no shuffle, no UDF, filters push down.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,14 +276,22 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     fingerprint, while only ~2/(window+1) of all gram hashes are kept —
     the containment/plagiarism detector `fingerprint` (global min, a
     single-row degenerate winnow) cannot provide. Pure Column exprs
-    (transform + slice + array_min over xxhash64 grams): JVM-side,
+    (transform + slice + array_min over hashed grams): JVM-side,
     shuffle-free until the explode. Documents shorter than n tokens emit
-    one fingerprint of the whole text."""
+    one fingerprint of the whole text.
+
+    Gram hashes come from gram_hash_arr (r7: per-token hash + rotate-xor
+    combine — the same no-string, O(L·n) path as dedup/repetition; the
+    old per-position concat_ws slice was the O(L²) formulation the r6
+    VERDICT flagged). Fingerprint VALUES change vs r6 — winnowing is
+    value-agnostic (no oracle pins them; the SIGMOD'03 guarantee and the
+    reference window-min parity are re-pinned on the new hashes)."""
     toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )
+    short = F.array(F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.lit(0).cast("bigint"), _rotxor))
+    grams = F.when(F.size(toks) >= n, gram_hash_arr(F.col(text_col), n)) \
+        .otherwise(short)
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(grams, i + 1, window)),
@@ -506,3 +515,36 @@ def weighted_sample(df: DataFrame, weight: Column,
     w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight))
     bucket = F.pmod(F.xxhash64(F.col(seed_col), F.lit(salt)), F.lit(1_000_000))
     return df.filter(bucket < (w * 1_000_000).cast("long"))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """→ (doc_id, n_bytes, n_compressed, compression_ratio) — zlib deflate
+    ratio per document (utf-8 bytes / compressed bytes), the cheap entropy
+    proxy web-corpus recipes threshold on from both ends: very HIGH ratios
+    mark templated/repetitive text (the compressor found the boilerplate
+    repetition_stats counts), very LOW ratios (→ 1.0) mark random-looking
+    or binary-ish payloads that token heuristics misread as prose.
+    Empty docs report ratio 0.0.
+
+    Arrow-batched pandas_udf (zlib is stdlib C — a few µs/KB; a
+    row-at-a-time Python UDF is the only alternative Spark offers for a
+    compressor, and this is exactly the pandas_udf-beats-per-row case).
+    Deterministic for a fixed ``level``; scan-side, no shuffle."""
+    import zlib
+
+    @F.pandas_udf("int")
+    def _clen(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+
+    n_bytes = F.octet_length(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bytes.alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"))
+    return out.withColumn(
+        "compression_ratio",
+        F.when(F.col("n_bytes") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_bytes") / F.col("n_compressed")
+                           + 1e-9, 4)))

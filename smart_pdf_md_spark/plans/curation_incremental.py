@@ -210,11 +210,21 @@ def curate_append(
         .localCheckpoint(eager=True)
     summary["batch_kept"] = new_kept.count()
 
-    # idempotent appends (a torn previous run may have committed a prefix)
+    # idempotent appends (a torn previous run may have committed a prefix).
+    # The anti-join is BATCH-BOUNDED (r7): history rows are pre-filtered to
+    # THIS batch's ids with a broadcast semi join — map-side over the
+    # history scan, so neither a history-sized shuffle nor a history-wide
+    # distinct runs per batch; only ids already torn-committed (⊆ batch)
+    # reach the anti-join's build side. Rows of other batches cannot match
+    # df (df ⊆ batch), so the filter is semantics-preserving.
+    batch_ids = pending.select("doc_id").distinct()
+
     def _append_new(df: DataFrame, stage: str, key_cols: list[str]) -> None:
         if stage_committed(run_dir, stage):
-            df = df.join(read_stage(spark, run_dir, stage).select("doc_id")
-                         .distinct(), "doc_id", "left_anti")
+            already = (read_stage(spark, run_dir, stage)
+                       .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                       .select("doc_id").distinct())
+            df = df.join(F.broadcast(already), "doc_id", "left_anti")
         commit_stage(df, run_dir, stage, key_cols,
                      mode="append" if stage_committed(run_dir, stage)
                      else "overwrite")

@@ -715,18 +715,21 @@ def test_winnow_fingerprints_match_reference_and_detect_containment(spark):
     for r in winnow_fingerprints(df, n=n, window=w).collect():
         got.setdefault(r.id, set()).add(r.fingerprint)
 
-    # independent reference: gram hashes from Spark (shared primitive),
-    # window-min + distinct in plain Python (the logic under test)
+    # independent reference: gram hashes from Spark (gram_hash_arr, the
+    # shared primitive — r7: winnow rides the no-string token-hash
+    # combine), window-min + distinct in plain Python (the logic under
+    # test)
     from pyspark.sql import functions as F
-    from smart_pdf_md_spark.operators.textstats import tokens_col
-    toks = tokens_col(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    gh = {r.doc_id: r.g for r in df.select("doc_id", grams.alias("g")).collect()}
+    from smart_pdf_md_spark.operators.textstats import gram_hash_arr
+    gh = {r.doc_id: r.g
+          for r in df.select("doc_id", gram_hash_arr(F.col("text"), n)
+                             .alias("g")).collect()}
     for did, hs in gh.items():
         if not docs[did - 1][1].strip():
             assert did not in got
+            continue
+        if not hs:  # sub-n-token doc: one whole-text fingerprint
+            assert len(got[did]) == 1
             continue
         want = {min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))}
         assert got[did] == want, did

@@ -280,3 +280,22 @@ def test_hyperanf_neighborhood_function_and_effective_diameter(spark):
                for a, b in zip(ts, ts[1:]))
     ed = effective_diameter(nf, q=0.9)
     assert 2.0 <= ed <= 3.0
+
+
+def test_harmonic_centrality_approx_vs_exact(spark):
+    """Path 1-2-3-4 (undirected): exact H = [1.833, 2.5, 2.5, 1.833];
+    sketch estimates land within 8%; the two middle nodes outrank the
+    endpoints."""
+    from smart_pdf_md_spark.operators.graph import harmonic_centrality_approx
+
+    triples = spark.createDataFrame(
+        [(f"n{i}", "linksTo", f"n{i+1}") for i in range(1, 4)],
+        ["subj", "pred", "obj"])
+    got = {r.node: r.centrality
+           for r in harmonic_centrality_approx(triples, p=10).collect()}
+    exact = {"n1": 1 + 0.5 + 1 / 3, "n2": 2.5, "n3": 2.5,
+             "n4": 1 + 0.5 + 1 / 3}
+    assert set(got) == set(exact)
+    for n, e in exact.items():
+        assert abs(got[n] - e) / e < 0.08, (n, got[n], e)
+    assert min(got["n2"], got["n3"]) > max(got["n1"], got["n4"])

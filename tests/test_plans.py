@@ -222,3 +222,33 @@ def test_decontaminate_bench_side_broadcasts(spark):
     # the plan feeds the per-doc aggregation, not the probe)
     probe = p.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in probe
+
+
+def test_tfidf_topk_pushes_into_window_sort(spark):
+    """tfidf_keywords' rank<=k must compile to WindowGroupLimit (top-k heap
+    per doc, never a full per-doc materialization), and document
+    frequencies must come from an Aggregate + join — NEVER a per-term
+    window (a stopword's window partition would hold one row per doc)."""
+    from smart_pdf_md_spark.operators.retrieval import tfidf_keywords
+    from smart_pdf_md_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = _plan(tfidf_keywords(docs, k=5))
+    assert "WindowGroupLimit" in p
+    # exactly one Window operator (the per-doc top-k); df adds none
+    n_window_ops = len([ln for ln in p.splitlines()
+                        if ln.strip().endswith(" Window")])
+    assert n_window_ops == 1, p
+
+
+def test_span_coverage_no_cartesian(spark):
+    """span_coverage's interval union is window+agg only — no join blowup,
+    no CartesianProduct."""
+    from smart_pdf_md_spark.operators.dedup import span_coverage
+    from smart_pdf_md_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    spans = spark.createDataFrame(
+        [(1, 2, 0, 0, 60)], ["id_a", "id_b", "start_a", "start_b", "length"])
+    p = _plan(span_coverage(docs, spans))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

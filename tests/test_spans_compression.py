@@ -1,0 +1,108 @@
+"""Exact duplicate-span verification (Lee et al. 2022 signal) +
+span-coverage interval union + zlib compression-ratio quality signal."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from smart_pdf_md_spark.operators import dedup as D
+from smart_pdf_md_spark.operators import textstats as TS
+
+
+def _rand_words(rng, n, tag):
+    return " ".join(f"{tag}{rng.randrange(10_000)}" for _ in range(n))
+
+
+def test_duplicate_spans_finds_planted_span_with_offsets(spark):
+    rng = random.Random(7)
+    shared = "the exact same boilerplate license block repeated verbatim " \
+             "across both documents with enough characters to clear min_len"
+    pre_a, tail_a = _rand_words(rng, 12, "a"), _rand_words(rng, 12, "b")
+    pre_b = _rand_words(rng, 25, "c")
+    text_a = pre_a + " " + shared + " " + tail_a
+    text_b = pre_b + " " + shared
+    short_shared = "tiny overlap"
+    text_c = short_shared + " " + _rand_words(rng, 20, "d")
+    text_d = short_shared + " " + _rand_words(rng, 20, "e")
+
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, text_c), (4, text_d)],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+
+    spans = D.duplicate_spans(docs, pairs, min_len=50).collect()
+    assert D.LAST_SPAN_METRICS == {"truncated_pairs": 0}
+    # pair (3,4): 12-char overlap < min_len → nothing
+    assert all((r.id_a, r.id_b) != (3, 4) for r in spans)
+    # pair (1,2): exactly the planted block, at its true offsets (the
+    # random contexts share nothing adjacent, so the block is maximal
+    # modulo the surrounding space which may extend it by ≤1 char)
+    [r] = [r for r in spans if (r.id_a, r.id_b) == (1, 2)]
+    want_a, want_b = text_a.index(shared), text_b.index(shared)
+    assert abs(r.start_a - want_a) <= 1 and abs(r.start_b - want_b) <= 1
+    assert len(shared) <= r.length <= len(shared) + 2
+    assert text_a[r.start_a:r.start_a + r.length] == \
+        text_b[r.start_b:r.start_b + r.length]
+
+    # truncation cap: counted, loud
+    m: dict = {}
+    D.duplicate_spans(docs, pairs, min_len=5, max_text_chars=40,
+                      metrics=m).collect()
+    assert m["truncated_pairs"] == 2
+
+
+def test_duplicate_spans_composes_with_winnow_producer(spark):
+    """The intended pipeline: winnow containment candidates → exact span
+    verification. A doc embedded verbatim in a larger one surfaces as a
+    full-cover span of the small doc."""
+    rng = random.Random(11)
+    inner = _rand_words(rng, 40, "w")
+    outer = _rand_words(rng, 30, "x") + " " + inner + " " + \
+        _rand_words(rng, 30, "y")
+    docs = spark.createDataFrame([(10, inner), (20, outer)],
+                                 ["doc_id", "text"])
+    pairs = TS.winnow_containment_pairs(docs, threshold=0.8)
+    assert pairs.count() >= 1
+    spans = D.duplicate_spans(docs, pairs, min_len=50)
+    cov = {r.id: r for r in D.span_coverage(docs, spans).collect()}
+    assert cov[10].dup_fraction >= 0.99        # inner fully covered
+    assert 0.0 < cov[20].dup_fraction < 0.75   # outer partially
+
+
+def test_span_coverage_interval_union(spark):
+    """Overlapping spans must not double-count: [10,60)+[40,90) covers 80
+    chars; the disjoint [100,120) adds 20; an uncovered doc reports 0."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 50)], ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(1, 99, 10, 10, 50),     # → doc 1 [10,60)
+         (1, 98, 40, 0, 50),      # → doc 1 [40,90) overlaps previous
+         (1, 97, 100, 0, 20)],    # → doc 1 [100,120) disjoint
+        ["id_a", "id_b", "start_a", "start_b", "length"])
+    got = {r.id: r for r in D.span_coverage(docs, spans).collect()}
+    assert got[1].dup_chars == 100 and got[1].dup_fraction == 0.5
+    assert got[2].dup_chars == 0 and got[2].dup_fraction == 0.0
+    # ids 97-99 appear only on the b-side with their own intervals; doc 2
+    # untouched — also check a b-side id resolves (99 got [10,60))
+    all_ids = {r.id for r in D.span_coverage(
+        spark.createDataFrame([(99, "z" * 100)], ["doc_id", "text"]),
+        spans).collect()}
+    assert all_ids == {99}
+
+
+def test_compression_ratio_semantics_and_zlib_parity(spark):
+    rng = random.Random(3)
+    repetitive = "spam and eggs " * 200
+    randomish = " ".join(str(rng.randrange(10**9)) for _ in range(200))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, randomish), (3, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in TS.compression_ratio(docs).collect()}
+
+    assert got[1].compression_ratio > 10          # boilerplate crushes
+    assert got[2].compression_ratio < 3           # high-entropy doesn't
+    assert got[3].compression_ratio == 0.0 and got[3].n_bytes == 0
+    for did, text in ((1, repetitive), (2, randomish)):
+        assert got[did].n_compressed == len(zlib.compress(
+            text.encode("utf-8"), 6))
+        assert got[did].n_bytes == len(text.encode("utf-8"))
