@@ -517,6 +517,32 @@ def weighted_sample(df: DataFrame, weight: Column,
     return df.filter(bucket < (w * 1_000_000).cast("long"))
 
 
+def _zlib_len(level: int):
+    """Arrow-batched deflate-length UDF (zlib is stdlib C — a few µs/KB;
+    a row-at-a-time Python UDF is the only alternative Spark offers for a
+    compressor, and this is exactly the pandas_udf-beats-per-row case)."""
+    import zlib
+
+    @F.pandas_udf("int")
+    def _clen(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+
+    return _clen
+
+
+def compression_ratio_col(text: Column, level: int = 6) -> Column:
+    """The deflate-ratio expression alone, exposed for one-select
+    composition (the token_count_cols rationale — plans/curation.py adds
+    it to the filter stage's single scan projection when
+    ``max_compression_ratio`` is set). The one non-pure-Column score in
+    the family: it plans as an ArrowEvalPython inside the scan stage —
+    still no shuffle, no join."""
+    n_bytes = F.octet_length(text)
+    return F.when(n_bytes == 0, F.lit(0.0)).otherwise(
+        F.round(n_bytes / _zlib_len(level)(text) + 1e-9, 4))
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", level: int = 6) -> DataFrame:
     """→ (doc_id, n_bytes, n_compressed, compression_ratio) — zlib deflate
@@ -527,22 +553,13 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     or binary-ish payloads that token heuristics misread as prose.
     Empty docs report ratio 0.0.
 
-    Arrow-batched pandas_udf (zlib is stdlib C — a few µs/KB; a
-    row-at-a-time Python UDF is the only alternative Spark offers for a
-    compressor, and this is exactly the pandas_udf-beats-per-row case).
-    Deterministic for a fixed ``level``; scan-side, no shuffle."""
-    import zlib
-
-    @F.pandas_udf("int")
-    def _clen(s: pd.Series) -> pd.Series:
-        return s.fillna("").map(
-            lambda t: len(zlib.compress(t.encode("utf-8"), level)))
-
+    Deterministic for a fixed ``level``; scan-side, no shuffle (see
+    :func:`compression_ratio_col` / :func:`_zlib_len`)."""
     n_bytes = F.octet_length(F.col(text_col))
     out = df.select(
         F.col(id_col).alias("doc_id"),
         n_bytes.alias("n_bytes"),
-        _clen(F.col(text_col)).alias("n_compressed"))
+        _zlib_len(level)(F.col(text_col)).alias("n_compressed"))
     return out.withColumn(
         "compression_ratio",
         F.when(F.col("n_bytes") == 0, F.lit(0.0))

@@ -32,9 +32,11 @@ from ..operators.dedup import (
     exact_dup_pairs,
     minhash_dedup_pairs,
 )
+from ..operators.lm import ppl_buckets
 from ..operators.textstats import (
     cap_per_group,
     chunk_documents,
+    compression_ratio_col,
     quality_cols,
     repetition_cols,
     scrub_cols,
@@ -51,10 +53,13 @@ def run_curation(
     quality_min: float = 0.3,
     dup_line_max: float = 0.5,
     dup_ngram_max: float | None = 0.8,
+    max_compression_ratio: float | None = None,
     dedup_threshold: float = 0.9,
     fractions: dict | None = None,
     max_per_source: int | None = None,
     domain_col: str = "source",
+    ppl_keep: tuple | list | None = None,
+    ppl_by: str = "lang",
     benchmarks: DataFrame | None = None,
     decontam_n: int = 13,
     chunk_tokens: int = 100,
@@ -81,7 +86,17 @@ def run_curation(
     ``max_per_source`` applies the Gopher/MassiveWeb per-domain limit in
     the filter stage (top-n per ``domain_col`` by quality, deterministic
     doc_id tie-break — textstats.cap_per_group): a single template-heavy
-    domain cannot dominate the mix no matter how well it scores."""
+    domain cannot dominate the mix no matter how well it scores.
+    ``max_compression_ratio`` adds the zlib entropy proxy to the filter
+    predicate (textstats.compression_ratio_col — docs whose deflate ratio
+    exceeds it are template/boilerplate beyond what the 3-gram window
+    sees); the score rides the SAME single scan projection as the other
+    families (ArrowEvalPython, still no shuffle/join). ``ppl_keep``
+    (e.g. ``("head", "middle")``) enables the CCNet bucket stage between
+    filter/clean and dedup: documents are scored by the corpus' own
+    unigram LM and only the named per-``ppl_by`` perplexity buckets
+    continue (lm.ppl_buckets — the committed stage keeps avg_logprob /
+    ppl_rank / ppl_bucket for auditing)."""
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -126,6 +141,8 @@ def run_curation(
             **repetition_cols(text),
             "n_tokens": token_count_cols(text)["n_tokens"],
         }
+        if max_compression_ratio is not None:
+            score_exprs["compression_ratio"] = compression_ratio_col(text)
         scored = scrubbed.select(
             "*", *[v.alias(k) for k, v in score_exprs.items()])
         # n_tokens >= 1: an empty/whitespace doc scores quality exactly 0.3
@@ -136,6 +153,9 @@ def run_curation(
             (F.col("n_tokens") >= 1)
         if dup_ngram_max is not None:
             keep = keep & (F.col("dup_ngram_ratio") <= dup_ngram_max)
+        if max_compression_ratio is not None:
+            keep = keep & (F.col("compression_ratio")
+                           <= max_compression_ratio)
         kept = scored.filter(keep)
         if fractions:
             kept = stratified_sample(kept, "lang", fractions)
@@ -149,6 +169,7 @@ def run_curation(
         deps=["scrubbed"],
         params={"quality_min": quality_min, "dup_line_max": dup_line_max,
                 "dup_ngram_max": dup_ngram_max, "fractions": fractions,
+                "max_compression_ratio": max_compression_ratio,
                 "max_per_source": max_per_source,
                 "domain_col": domain_col if max_per_source is not None
                 else None})
@@ -178,6 +199,25 @@ def run_curation(
                     "bench_fp": f"{fp.n}:{fp.h}"})
         _note("clean")
         upstream, upstream_name = clean, "clean"
+
+    lm_stage = None
+    if ppl_keep is not None:
+        lm_upstream = upstream  # bind, not close over the mutating name
+
+        def build_lm() -> DataFrame:
+            # CCNet head/middle/tail split over the surviving docs: the
+            # LM is the corpus' own unigram distribution (lm.ppl_buckets
+            # — ranking runs on the slim (id, stratum, score) relation);
+            # the committed stage keeps the scores for auditing
+            labeled = ppl_buckets(lm_upstream, by=ppl_by)
+            return labeled.filter(F.col("ppl_bucket").isin(*list(ppl_keep)))
+
+        lm_stage, resumed["lm"] = run_stage(
+            spark, run_dir, "lm", build_lm, ["doc_id"],
+            deps=[upstream_name],
+            params={"ppl_keep": sorted(ppl_keep), "ppl_by": ppl_by})
+        _note("lm")
+        upstream, upstream_name = lm_stage, "lm"
 
     def build_kept() -> DataFrame:
         # near-dup channel + exact channel: minhash excludes sub-n-token
@@ -226,6 +266,9 @@ def run_curation(
         "summary": summary,
     }
     if benchmarks is not None:
-        summary["after_decontam"] = upstream.count()
-        out["clean"] = upstream
+        summary["after_decontam"] = clean.count()
+        out["clean"] = clean
+    if lm_stage is not None:
+        summary["after_lm"] = lm_stage.count()
+        out["lm"] = lm_stage
     return out

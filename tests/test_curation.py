@@ -324,3 +324,64 @@ def test_curation_cap_toggle_rebuilds_scrubbed(spark, tmp_path):
     assert not fifth["resumed"]["scrubbed"]
     assert fifth["summary"]["after_filter"] == 10
     assert "source" not in fifth["filtered"].columns
+
+
+@pytest.mark.slow
+def test_curation_compression_knob_drops_boilerplate_and_rebuilds(
+        spark, tmp_path):
+    """max_compression_ratio: the zlib entropy proxy rides the filter
+    stage's single scan projection; a doc too repetitive for the
+    compressor (but under the disabled dup_ngram gate here) drops; turning
+    the knob on a COMMITTED run_dir rebuilds the filtered stage (params
+    digest), never serves the stale keep-set."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    boiler = "the story of it is on a hill for the day " * 60
+    rows = [(1, "the story of it is on a hill and for the day it was "
+                "good one " + " ".join(f"w{i}" for i in range(40)), "en"),
+            (2, boiler, "en")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dup_line_max=1.0)
+    assert res["summary"]["after_filter"] == 2   # knob off: both pass
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dup_line_max=1.0, max_compression_ratio=5.0)
+    assert res2["resumed"]["filtered"] is False  # knob change → rebuild
+    assert res2["summary"]["after_filter"] == 1
+    kept_ids = {r.doc_id for r in res2["kept"].select("doc_id").collect()}
+    assert kept_ids == {1}
+    # the committed filtered stage carries the audit column
+    assert "compression_ratio" in res2["filtered"].columns
+
+
+@pytest.mark.slow
+def test_curation_ppl_bucket_stage(spark, tmp_path):
+    """ppl_keep: the CCNet bucket stage drops tail-perplexity docs (rare
+    vocabulary under the corpus' own unigram LM), commits audit columns,
+    reports after_lm, and resumes cleanly with unchanged params."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    common = "the story of it is on a hill and for the day it was good"
+    rows = [(i, common + f" extra{i % 2}", "en") for i in range(8)]
+    # rare-vocab doc: every token unique to it except minimal stopwords
+    rows.append((99, "the " + " ".join(f"zq{i}x" for i in range(30)), "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01,  # isolate the lm stage
+                       ppl_keep=("head", "middle"))
+    assert res["summary"]["after_lm"] < res["summary"]["after_filter"]
+    lm_ids = {r.doc_id for r in res["lm"].select("doc_id").collect()}
+    assert 99 not in lm_ids                     # the tail doc dropped
+    assert {"avg_logprob", "ppl_rank", "ppl_bucket"} <= set(
+        res["lm"].columns)
+    kept_ids = {r.doc_id for r in res["kept"].select("doc_id").collect()}
+    assert 99 not in kept_ids
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01, ppl_keep=("head", "middle"))
+    assert res2["resumed"]["lm"] is True        # same params → resume
