@@ -478,6 +478,53 @@ def k_core(triples: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         base.unpersist()
 
 
+def _hyperanf_init(triples: DataFrame, p: int, undirected: bool):
+    """Shared HyperANF setup: (edges, initial per-vertex register state,
+    round parallelism). Each vertex starts as the HLL sketch of {itself}
+    — one (node, bucket, rho) row."""
+    from .sketches import _rho_col
+
+    edges = _edge_set(triples, undirected)
+    spark = triples.sparkSession
+    par = max(spark.sparkContext.defaultParallelism // 4, 1)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    h = F.xxhash64(F.col("node"), F.lit("hyperanf_v1"))
+    state = nodes.select(
+        "node",
+        F.shiftrightunsigned(h, 64 - p).cast("int").alias("bucket"),
+        _rho_col(h, p).alias("rho")).localCheckpoint(eager=True)
+    return edges, state, par
+
+
+def _hyperanf_round(edges: DataFrame, state: DataFrame,
+                    par: int) -> DataFrame:
+    """One ball-growing round: neighbors' registers ride the edge join,
+    HLL union = groupBy max. Idempotent, partitioning-invariant,
+    checkpointed (the cc.py discipline)."""
+    nbr = (edges.join(state.withColumnRenamed("node", "dst"), "dst")
+           .select(F.col("src").alias("node"), "bucket", "rho"))
+    return (state.unionByName(nbr)
+            .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+            .coalesce(par).localCheckpoint(eager=True))
+
+
+def _per_node_ball_est(st: DataFrame, p: int) -> DataFrame:
+    """(node, est) — per-vertex HLL estimates computed IN COLUMNS (the
+    sketches.hll_estimate arithmetic, linear-counting branch included);
+    nothing per-node ever reaches the driver."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = st.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count("*").alias("nrows"))
+    raw = alpha * m * m / (F.col("s") + (m - F.col("nrows")))
+    lin = m * F.log(F.lit(float(m)) / (m - F.col("nrows")))
+    est = F.when((raw <= 2.5 * m) & (F.col("nrows") < m), lin) \
+        .otherwise(raw)
+    return agg.select("node", est.alias("est"))
+
+
 def neighborhood_function(triples: DataFrame, t_max: int = 8, p: int = 8,
                           undirected: bool = True,
                           rel_tol: float = 1e-3) -> DataFrame:
@@ -505,40 +552,17 @@ def neighborhood_function(triples: DataFrame, t_max: int = 8, p: int = 8,
     not node sets, are what make t_max rounds affordable where exact
     frontier BFS from EVERY vertex would square. State is checkpointed
     per round (the cc.py discipline)."""
-    from .sketches import _rho_col
-
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    edges = _edge_set(triples, undirected)
+    edges, state, par = _hyperanf_init(triples, p, undirected)
     spark = triples.sparkSession
-    par = max(spark.sparkContext.defaultParallelism // 4, 1)
-
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node"))).distinct())
-    h = F.xxhash64(F.col("node"), F.lit("hyperanf_v1"))
-    state = nodes.select(
-        "node",
-        F.shiftrightunsigned(h, 64 - p).cast("int").alias("bucket"),
-        _rho_col(h, p).alias("rho")).localCheckpoint(eager=True)
 
     def _nf(st: DataFrame) -> float:
-        per_node = st.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
-            F.count("*").alias("nrows"))
-        raw = alpha * m * m / (F.col("s") + (m - F.col("nrows")))
-        lin = m * F.log(F.lit(float(m)) / (m - F.col("nrows")))
-        est = F.when((raw <= 2.5 * m) & (F.col("nrows") < m), lin) \
-            .otherwise(raw)
-        return float(per_node.agg(F.sum(est)).collect()[0][0])
+        return float(_per_node_ball_est(st, p)
+                     .agg(F.sum("est")).collect()[0][0])
 
     out = [(0, round(_nf(state), 1))]
     try:
         for t in range(1, t_max + 1):
-            nbr = (edges.join(state.withColumnRenamed("node", "dst"), "dst")
-                   .select(F.col("src").alias("node"), "bucket", "rho"))
-            state = (state.unionByName(nbr)
-                     .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
-                     .coalesce(par).localCheckpoint(eager=True))
+            state = _hyperanf_round(edges, state, par)
             nf_t = round(_nf(state), 1)
             out.append((t, nf_t))
             if nf_t <= out[-2][1] * (1 + rel_tol):
@@ -583,43 +607,17 @@ def harmonic_centrality_approx(triples: DataFrame, t_max: int = 8,
     estimator jitter can make a per-round delta slightly negative, which
     is clamped at 0 (ball sizes are monotone by construction). Stops
     early when no node's ball grew (sum of deltas = 0)."""
-    from .sketches import _rho_col
+    edges, state, par = _hyperanf_init(triples, p, undirected)
 
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    edges = _edge_set(triples, undirected)
-    spark = triples.sparkSession
-    par = max(spark.sparkContext.defaultParallelism // 4, 1)
-
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node"))).distinct())
-    h = F.xxhash64(F.col("node"), F.lit("hyperanf_v1"))
-    state = nodes.select(
-        "node",
-        F.shiftrightunsigned(h, 64 - p).cast("int").alias("bucket"),
-        _rho_col(h, p).alias("rho")).localCheckpoint(eager=True)
-
-    def _per_node_est(st: DataFrame) -> DataFrame:
-        agg = st.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
-            F.count("*").alias("nrows"))
-        raw = alpha * m * m / (F.col("s") + (m - F.col("nrows")))
-        lin = m * F.log(F.lit(float(m)) / (m - F.col("nrows")))
-        est = F.when((raw <= 2.5 * m) & (F.col("nrows") < m), lin) \
-            .otherwise(raw)
-        return agg.select("node", est.alias("est"))
-
-    prev = _per_node_est(state).coalesce(par).localCheckpoint(eager=True)
+    prev = _per_node_ball_est(state, p).coalesce(par) \
+        .localCheckpoint(eager=True)
     hc = prev.select("node", F.lit(0.0).alias("centrality")) \
         .coalesce(par).localCheckpoint(eager=True)
     try:
         for t in range(1, t_max + 1):
-            nbr = (edges.join(state.withColumnRenamed("node", "dst"), "dst")
-                   .select(F.col("src").alias("node"), "bucket", "rho"))
-            state = (state.unionByName(nbr)
-                     .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
-                     .coalesce(par).localCheckpoint(eager=True))
-            cur = _per_node_est(state).coalesce(par).localCheckpoint(eager=True)
+            state = _hyperanf_round(edges, state, par)
+            cur = _per_node_ball_est(state, p).coalesce(par) \
+                .localCheckpoint(eager=True)
             delta = (cur.join(prev.withColumnRenamed("est", "prev_est"),
                               "node")
                      .select("node",

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from smart_pdf_md_spark.corpus import corpus_pandas
 from smart_pdf_md_spark.oracle import oracle_mentions
 from smart_pdf_md_spark.plans.manifests import read_manifest, read_stage
@@ -47,3 +49,65 @@ def test_incremental_stream_extracts_exactly_once(spark, tmp_path, corpus_pdf):
     corpus_sdf_all = spark.createDataFrame(corpus_pandas(len(corpus_pdf)))
     _, n_new = extract_incremental(spark, corpus_sdf_all, out_dir)
     assert n_new == 0
+
+
+@pytest.mark.slow
+def test_sketch_stream_heavy_hitters_and_cardinality(spark, tmp_path):
+    """Streaming sketch maintenance: committed HLL/CMS/candidate stages
+    over micro-batches of a skewed key stream — heavy hitters surface with
+    one-sided estimates, the cardinality estimate tracks truth, re-drains
+    with no new data change NOTHING (epoch-idempotent additive CMS), and
+    new data merges in without replaying history."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from smart_pdf_md_spark.plans.manifests import read_stage
+    from smart_pdf_md_spark.streaming.sketch_stream import (
+        distinct_keys_estimate,
+        heavy_hitters,
+        run_sketch_stream,
+    )
+
+    src = str(tmp_path / "keys")
+    ckpt = str(tmp_path / "ckpt")
+    run_dir = str(tmp_path / "state")
+    os.makedirs(src)
+
+    # batch A: key 'hot' × 300 against a 200-key long tail
+    a = pd.DataFrame({"key": ["hot"] * 300 +
+                      [f"tail{i}" for i in range(200)]})
+    a.to_parquet(os.path.join(src, "a.parquet"), index=False)
+
+    schema = T.StructType([T.StructField("key", T.StringType())])
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_sketch_stream(stream, run_dir, ckpt, ["key"], once=True)
+
+    drain()
+    hh = {r.key: r.est_count
+          for r in heavy_hitters(spark, run_dir, ["key"],
+                                 min_count=100).collect()}
+    assert set(hh) == {"hot"} and hh["hot"] >= 300   # one-sided, no misses
+    est1 = distinct_keys_estimate(spark, run_dir)
+    assert abs(est1 - 201) / 201 < 0.05
+
+    cms_total = read_stage(spark, run_dir, "stream_cms") \
+        .agg(F.sum("cnt")).collect()[0][0]
+
+    # re-drain with nothing new: additive state must not move
+    drain()
+    assert read_stage(spark, run_dir, "stream_cms") \
+        .agg(F.sum("cnt")).collect()[0][0] == cms_total
+
+    # batch B: a second hot key; only the new file is processed
+    b = pd.DataFrame({"key": ["hot"] * 50 + ["warm"] * 150 +
+                      [f"more{i}" for i in range(100)]})
+    b.to_parquet(os.path.join(src, "b.parquet"), index=False)
+    drain()
+    hh2 = {r.key: r.est_count
+           for r in heavy_hitters(spark, run_dir, ["key"],
+                                  min_count=100).collect()}
+    assert hh2["hot"] >= 350 and hh2["warm"] >= 150
+    est2 = distinct_keys_estimate(spark, run_dir)
+    assert abs(est2 - 302) / 302 < 0.05
