@@ -282,6 +282,7 @@ def test_hyperanf_neighborhood_function_and_effective_diameter(spark):
     assert 2.0 <= ed <= 3.0
 
 
+@pytest.mark.slow
 def test_harmonic_centrality_approx_vs_exact(spark):
     """Path 1-2-3-4 (undirected): exact H = [1.833, 2.5, 2.5, 1.833];
     sketch estimates land within 8%; the two middle nodes outrank the

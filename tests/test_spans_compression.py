@@ -6,6 +6,8 @@ from __future__ import annotations
 import random
 import zlib
 
+import pytest
+
 from smart_pdf_md_spark.operators import dedup as D
 from smart_pdf_md_spark.operators import textstats as TS
 
@@ -52,6 +54,7 @@ def test_duplicate_spans_finds_planted_span_with_offsets(spark):
     assert m["truncated_pairs"] == 2
 
 
+@pytest.mark.slow
 def test_duplicate_spans_composes_with_winnow_producer(spark):
     """The intended pipeline: winnow containment candidates → exact span
     verification. A doc embedded verbatim in a larger one surfaces as a
