@@ -1,0 +1,114 @@
+"""Distributed BPE training: exact merge-sequence parity with a Python
+reference (Sennrich get_stats/merge semantics, deterministic tie-break),
+encode-table parity, corpus token budgeting, partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from smart_pdf_md_spark.operators import bpe as B
+
+
+def _ref_merge(s, a, b):
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if i + 1 < n and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int, min_pair_count: int = 2):
+    vocab = {w: list(w) + [B.END] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, n in word_freqs.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        best_c = max(counts.values())
+        if best_c < min_pair_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == best_c)
+        merges.append((a, b))
+        vocab = {w: _ref_merge(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+CORPUS = [
+    (1, "low low low low low lower lower newest newest"),
+    (2, "newest newest newest newest widest widest widest"),
+    (3, "the newest low bid was the widest bid of the day"),
+]
+
+
+def test_bpe_train_matches_reference_merge_sequence(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    wf = B.word_freq_table(docs)
+    wf_local = {r.word: r.n for r in wf.collect()}
+
+    got = B.bpe_train(wf, n_merges=15)
+    want, ref_vocab = _ref_bpe(wf_local, 15)
+    assert got == want and len(got) == 15
+
+    enc = {r.word: (list(r.bpe_tokens), r.n_bpe)
+           for r in B.bpe_encode_table(wf, got).collect()}
+    for w, syms in ref_vocab.items():
+        assert enc[w][0] == syms, w
+        assert enc[w][1] == len(syms)
+
+    # partitioning invariance: the merge list is a pure function of the
+    # word-frequency table
+    got8 = B.bpe_train(wf.repartition(8), n_merges=15)
+    assert got8 == got
+
+
+@pytest.mark.slow
+def test_bpe_early_stop_and_token_budget(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    wf = B.word_freq_table(docs)
+    wf_local = {r.word: r.n for r in wf.collect()}
+
+    # min_pair_count high enough to stop before n_merges
+    got = B.bpe_train(wf, n_merges=500, min_pair_count=8)
+    want, _ = _ref_bpe(wf_local, 500, min_pair_count=8)
+    assert got == want and 0 < len(got) < 500
+
+    merges = B.bpe_train(wf, n_merges=10)
+    enc = B.bpe_encode_table(wf, merges)
+    counts = {r.doc_id: r.n_bpe_tokens
+              for r in B.bpe_token_count(docs, enc).collect()}
+    _, ref_vocab = _ref_bpe(wf_local, 10)
+    for did, text in CORPUS:
+        want_n = sum(len(ref_vocab[w]) for w in text.lower().split())
+        assert counts[did] == want_n, did
+    # more merges can only shrink (or keep) every word's token count
+    enc15 = B.bpe_encode_table(wf, B.bpe_train(wf, n_merges=15))
+    pairs = {r.word: r.n_bpe for r in enc.collect()}
+    for r in enc15.collect():
+        assert r.n_bpe <= pairs[r.word]
+
+
+@pytest.mark.slow
+def test_bpe_scales_symbol_stream_shrinks(spark):
+    """The per-round pair stream only SHRINKS as merges land (the scale
+    argument in the module docstring): total symbol count after training
+    is strictly below the initial character count."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wf = B.word_freq_table(docs)
+    merges = B.bpe_train(wf, n_merges=40)
+    assert len(merges) == 40
+    enc = B.bpe_encode_table(wf, merges)
+    init_syms = wf.select(
+        F.sum(F.length("word") + 1)).collect()[0][0]
+    final_syms = enc.select(F.sum("n_bpe")).collect()[0][0]
+    assert final_syms < init_syms
