@@ -92,28 +92,25 @@ def bpe_train(word_freqs: DataFrame, n_merges: int = 100,
                               _sym_init(F.col("word")).alias("syms")) \
         .localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(n_merges):
-            pairs = (state.select(
-                "n",
-                F.explode(F.expr(
-                    "transform(slice(syms, 1, size(syms) - 1), "
-                    "(s, i) -> struct(s as a, syms[i + 1] as b))"))
-                .alias("p"))
-                .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt")))
-            top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
-                   .collect())
-            if not top or top[0]["cnt"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            state = state.select(
-                "word", "n",
-                _merge_syms_udf(a, b)(F.col("syms")).alias("syms")) \
-                .localCheckpoint(eager=True)
-        return merges
-    finally:
-        pass
+    for _ in range(n_merges):
+        pairs = (state.select(
+            "n",
+            F.explode(F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), "
+                "(s, i) -> struct(s as a, syms[i + 1] as b))"))
+            .alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt")))
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+               .collect())
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            "word", "n",
+            _merge_syms_udf(a, b)(F.col("syms")).alias("syms")) \
+            .localCheckpoint(eager=True)
+    return merges
 
 
 def bpe_encode_table(word_freqs: DataFrame,
@@ -166,3 +163,35 @@ def bpe_token_count(docs: DataFrame, encoded_vocab: DataFrame,
     return (stream.join(encoded_vocab.select("word", "n_bpe"), "word")
             .groupBy("doc_id")
             .agg(F.sum("n_bpe").cast("int").alias("n_bpe_tokens")))
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id",
+             lowercase: bool = True) -> DataFrame:
+    """→ (doc_id, n_tokens, n_oov, oov_rate) — per-document out-of-
+    vocabulary rate against a word table (any (word, ...) relation:
+    word_freq_table output filtered by min count, a shipped tokenizer
+    vocab, a benchmark lexicon). The corpus-vs-vocabulary fit signal a
+    pipeline checks before committing to a tokenizer — high OOV marks
+    domains the vocab under-serves. Empty docs emit no row (no tokens to
+    judge — the sub-token rule).
+
+    Shape: exploded token stream LEFT-semi-style joined against the
+    vocabulary on `word` (broadcast when the vocab fits), then one
+    map-side-combinable per-doc count — ANSI-expressible end to end
+    (DuckDB parity in tests/test_bpe.py)."""
+    toks = tokens_col(F.col(text_col))
+    stream = docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(toks).alias("word"))
+    if lowercase:
+        stream = stream.select("doc_id", F.lower("word").alias("word"))
+    marked = stream.join(
+        vocab.select("word").distinct().withColumn("_in", F.lit(1)),
+        "word", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .cast("int").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens")
+                                + 1e-9, 4)))
