@@ -149,20 +149,32 @@ def bpe_encode_table(word_freqs: DataFrame,
 def bpe_token_count(docs: DataFrame, encoded_vocab: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
                     lowercase: bool = True) -> DataFrame:
-    """→ (doc_id, n_bpe_tokens) — per-document token budget under the
-    LEARNED tokenizer (the real-vocabulary upgrade of
+    """→ (doc_id, n_bpe_tokens, n_oov_words) — per-document token budget
+    under the LEARNED tokenizer (the real-vocabulary upgrade of
     textstats.token_count's regex proxy). The corpus token stream joins
     the encoded vocabulary on `word` (broadcast when the vocab fits,
     shuffle otherwise — Catalyst's call); per-doc counts are a
-    map-side-combinable sum of n_bpe."""
+    map-side-combinable sum.
+
+    Words ABSENT from the vocabulary (vocab built on a different corpus or
+    lowercase setting) are not silently dropped (ADVICE r7): the join is a
+    LEFT join, an OOV word costs its character count + 1 BPE tokens (the
+    zero-merge worst case — every char a symbol plus the end-of-word mark,
+    exactly what bpe_encode_table would emit for an unseen word before any
+    merge applies... an upper bound once merges exist), and the per-doc
+    OOV word count surfaces as ``n_oov_words`` so the fallback is loud."""
     toks = tokens_col(F.col(text_col))
     w = F.explode(toks).alias("word")
     stream = docs.select(F.col(id_col).alias("doc_id"), w)
     if lowercase:
         stream = stream.select("doc_id", F.lower("word").alias("word"))
-    return (stream.join(encoded_vocab.select("word", "n_bpe"), "word")
-            .groupBy("doc_id")
-            .agg(F.sum("n_bpe").cast("int").alias("n_bpe_tokens")))
+    joined = stream.join(encoded_vocab.select("word", "n_bpe"),
+                         "word", "left")
+    cost = F.coalesce(F.col("n_bpe"), F.length("word") + 1)
+    return (joined.groupBy("doc_id")
+            .agg(F.sum(cost).cast("int").alias("n_bpe_tokens"),
+                 F.sum(F.col("n_bpe").isNull().cast("int")).cast("int")
+                 .alias("n_oov_words")))
 
 
 def oov_rate(docs: DataFrame, vocab: DataFrame,

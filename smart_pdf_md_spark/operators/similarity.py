@@ -452,26 +452,32 @@ def semdedup(emb: DataFrame, eps: float = 0.05,
         d2 = ((vs - cb[lid]) ** 2).sum(axis=1)
         order = np.lexsort((pdf["id"].to_numpy(), -d2))  # dist DESC, id ASC
         kept_rows: list[int] = []
-        out = np.zeros((len(pdf), 3))  # is_keeper, keeper_id, sim
         ids = pdf["id"].to_numpy()
+        # keeper ids live in their own int64 array — routing them through a
+        # float64 matrix silently corrupts ids above 2^53 (xxhash64-derived
+        # ids, the common pattern here; ADVICE r7)
+        is_keeper = np.zeros(len(pdf), dtype=bool)
+        keeper_id = np.empty(len(pdf), dtype=np.int64)
+        sim = np.zeros(len(pdf), dtype=np.float64)
         for rank, i in enumerate(order):
             if rank >= cap:  # overflow passes through as keeper, counted
-                out[i] = (1, ids[i], 1.0)
+                is_keeper[i], keeper_id[i], sim[i] = True, ids[i], 1.0
                 continue
             if kept_rows:
                 sims = unit[kept_rows] @ unit[i]
                 j = int(np.argmax(sims))
                 if sims[j] > thresh:
-                    out[i] = (0, ids[kept_rows[j]],
-                              round(float(sims[j]) + 1e-9, 4))
+                    is_keeper[i] = False
+                    keeper_id[i] = ids[kept_rows[j]]
+                    sim[i] = round(float(sims[j]) + 1e-9, 4)
                     continue
             kept_rows.append(i)
-            out[i] = (1, ids[i], 1.0)
+            is_keeper[i], keeper_id[i], sim[i] = True, ids[i], 1.0
         return pd.DataFrame({
             "id": ids, "list_id": lid,
-            "is_keeper": out[:, 0].astype(bool),
-            "keeper_id": out[:, 1].astype(np.int64),
-            "sim_to_keeper": out[:, 2],
+            "is_keeper": is_keeper,
+            "keeper_id": keeper_id,
+            "sim_to_keeper": sim,
             "overflow": max(0, len(pdf) - cap)})
 
     res = (assigned.groupBy("list_id").applyInPandas(dedupe_cluster, schema)

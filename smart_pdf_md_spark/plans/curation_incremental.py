@@ -71,6 +71,22 @@ _SKETCH = "cur_content_hll"
 _BANDS = "cur_bands"
 
 
+def _history_bands(spark: SparkSession, run_dir: str,
+                   batch_ids: DataFrame) -> DataFrame:
+    """The committed cur_bands relation as (id, band, band_hash), with THIS
+    batch's rows excluded. On a torn-run replay the batch's bands may
+    already be committed; unioning them with the freshly-computed
+    bands_batch double-counts those rows in the hot-bucket sizing, so
+    buckets between max_bucket/2 and max_bucket get spuriously dropped
+    (ADVICE r7). A batch-id anti-join is exact — a committed band row with
+    an id in this batch can only have come from a torn commit of this very
+    batch — and stays map-side (broadcast build side is batch-bounded)."""
+    return (read_stage(spark, run_dir, _BANDS)
+            .withColumnRenamed("doc_id", "id")
+            .join(F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")),
+                  "id", "left_anti"))
+
+
 def curate_append(
     spark: SparkSession,
     docs: DataFrame,
@@ -151,8 +167,8 @@ def curate_append(
             .select(F.col("doc_id").alias("id"), "sig"))
     if stage_committed(run_dir, _BANDS):
         bands_all = bands_batch.unionByName(
-            read_stage(spark, run_dir, _BANDS)
-            .withColumnRenamed("doc_id", "id"))
+            _history_bands(spark, run_dir,
+                           pending.select("doc_id").distinct()))
     elif backfill is not None:
         bands_all = bands_batch.unionByName(backfill)
     else:

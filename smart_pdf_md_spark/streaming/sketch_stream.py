@@ -56,8 +56,21 @@ def run_sketch_stream(stream_df: DataFrame, run_dir: str,
     its exact local top-``batch_topk`` keys into the candidate stage."""
     from ..plans.manifests import commit_stage, read_stage, stage_committed, stage_run_id
 
+    # the replay guard compares the committed stage's run_id to this
+    # epoch's — but foreachBatch epoch ids restart at 0 under a FRESH
+    # checkpoint dir (or a second stream) over the same run_dir, and a
+    # colliding run_id would make commit_batch silently skip merging real
+    # new data (ADVICE r7). Namespace the epoch with the checkpoint dir:
+    # a resumed stream (same checkpoint) keeps its namespace so replayed
+    # epochs still dedupe; a fresh checkpoint gets a fresh namespace and
+    # its epoch 0 merges like any new batch.
+    import hashlib
+    import os
+    _ns = hashlib.sha256(
+        os.path.realpath(checkpoint_dir).encode()).hexdigest()[:12]
+
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rid = f"epoch{epoch_id:06d}"
+        rid = f"{_ns}-epoch{epoch_id:06d}"
         spark = batch_df.sparkSession
         keys = batch_df.select(*key_cols)
 

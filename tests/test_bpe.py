@@ -155,3 +155,24 @@ def test_oov_rate_known_values_and_duckdb_parity(spark):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_pd, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_bpe_token_count_oov_fallback_is_counted(spark):
+    """Tokens absent from the encoded vocabulary must not silently drop
+    (ADVICE r7): an OOV word costs its character count + 1 (the zero-merge
+    worst case) and the per-doc OOV word count surfaces loudly."""
+    train = spark.createDataFrame([(1, "low low lower")], ["doc_id", "text"])
+    wf = B.word_freq_table(train)
+    enc = B.bpe_encode_table(wf, B.bpe_train(wf, n_merges=5))
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "low zebra"), (3, "qux zebra")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in B.bpe_token_count(docs, enc).collect()}
+    n = {r.word: r.n_bpe for r in enc.collect()}
+    assert (got[1].n_bpe_tokens, got[1].n_oov_words) == \
+        (n["low"] + n["lower"], 0)
+    assert (got[2].n_bpe_tokens, got[2].n_oov_words) == \
+        (n["low"] + len("zebra") + 1, 1)
+    assert (got[3].n_bpe_tokens, got[3].n_oov_words) == \
+        (len("qux") + 1 + len("zebra") + 1, 2)

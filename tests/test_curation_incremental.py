@@ -186,3 +186,24 @@ def test_incremental_matches_batch_pipeline_on_fresh_corpus(spark, tmp_path):
     batch_kept = {r.doc_id for r in full["kept"].select("doc_id").collect()}
     assert inc_kept == batch_kept
     assert inc["total_kept"] == full["summary"]["after_dedup"]
+
+
+def test_history_bands_excludes_torn_committed_batch_rows(spark, tmp_path):
+    """On a torn-run replay the batch's band rows may already sit in the
+    committed cur_bands stage; unioning them with the freshly-computed
+    batch bands double-counts those rows in hot-bucket sizing (ADVICE r7).
+    _history_bands must exclude THIS batch's ids from the committed read."""
+    from smart_pdf_md_spark.plans.curation_incremental import _history_bands
+    from smart_pdf_md_spark.plans.manifests import commit_stage
+
+    run_dir = str(tmp_path / "run")
+    committed = spark.createDataFrame(
+        [(1, 0, 11), (1, 1, 12),      # torn-committed rows of THIS batch
+         (9, 0, 99), (8, 1, 88)],     # genuine history
+        ["doc_id", "band", "band_hash"])
+    commit_stage(committed, run_dir, "cur_bands", ["doc_id", "band"])
+
+    batch_ids = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    got = sorted(map(tuple, _history_bands(spark, run_dir,
+                                           batch_ids).collect()))
+    assert got == [(8, 1, 88), (9, 0, 99)]

@@ -1110,3 +1110,27 @@ def test_semdedup_keeper_semantics_and_invariance(spark):
                         max_cluster=1, metrics=m)
     assert m == {"overflow_rows": 3}
     assert capped.filter("not is_keeper").count() == 0
+
+
+def test_semdedup_preserves_ids_above_float53(spark):
+    """Keeper ids must survive exactly for ids > 2^53 (xxhash64-derived
+    ids — the common id pattern here): routing them through a float64
+    array silently corrupts the low bits (ADVICE r7)."""
+    import numpy as np
+
+    from smart_pdf_md_spark.operators import similarity as S
+
+    big = (1 << 61) + 12345  # not representable in float64
+    rows = [(big, [1.0, 0.0, 0.0, 0.0]),
+            (big + 1, [2.0, 0.0, 0.0, 0.0]),   # duplicate direction
+            (7, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.array([[1.0, 0, 0, 0], [0.0, 1, 0, 0]])
+    out = {r.id: r for r in S.semdedup(emb, eps=0.05, centroids=cents,
+                                       dim=4).collect()}
+    assert set(out) == {big, big + 1, 7}       # id column exact
+    keeper = big + 1 if out[big + 1].is_keeper else big
+    dropped = big if keeper == big + 1 else big + 1
+    assert out[dropped].keeper_id == keeper    # exact, not float-rounded
+    assert out[keeper].keeper_id == keeper
+    assert out[7].keeper_id == 7

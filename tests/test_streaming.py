@@ -111,3 +111,42 @@ def test_sketch_stream_heavy_hitters_and_cardinality(spark, tmp_path):
     assert hh2["hot"] >= 350 and hh2["warm"] >= 150
     est2 = distinct_keys_estimate(spark, run_dir)
     assert abs(est2 - 302) / 302 < 0.05
+
+
+def test_sketch_stream_fresh_checkpoint_same_run_dir_merges(spark, tmp_path):
+    """Epoch ids restart at 0 under a FRESH checkpoint dir; the replay
+    guard must not mistake the new stream's epoch 0 for the old stream's
+    committed epoch 0 and silently skip merging real data (ADVICE r7 —
+    run_ids are namespaced by checkpoint dir)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from smart_pdf_md_spark.streaming.sketch_stream import (
+        heavy_hitters,
+        run_sketch_stream,
+    )
+
+    run_dir = str(tmp_path / "state")
+    schema = T.StructType([T.StructField("key", T.StringType())])
+
+    def drain(src, ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_sketch_stream(stream, run_dir, ckpt, ["key"], once=True)
+
+    src1 = str(tmp_path / "keys1"); os.makedirs(src1)
+    pd.DataFrame({"key": ["alpha"] * 120}).to_parquet(
+        os.path.join(src1, "a.parquet"), index=False)
+    drain(src1, str(tmp_path / "ckpt1"))
+
+    # second stream: same run_dir, fresh checkpoint → its epoch 0 MUST merge
+    src2 = str(tmp_path / "keys2"); os.makedirs(src2)
+    pd.DataFrame({"key": ["beta"] * 200}).to_parquet(
+        os.path.join(src2, "b.parquet"), index=False)
+    drain(src2, str(tmp_path / "ckpt2"))
+
+    hh = {r.key: r.est_count
+          for r in heavy_hitters(spark, run_dir, ["key"],
+                                 min_count=100).collect()}
+    assert hh.get("alpha", 0) >= 120 and hh.get("beta", 0) >= 200
