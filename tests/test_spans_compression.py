@@ -34,7 +34,8 @@ def test_duplicate_spans_finds_planted_span_with_offsets(spark):
     pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
 
     spans = D.duplicate_spans(docs, pairs, min_len=50).collect()
-    assert D.LAST_SPAN_METRICS == {"truncated_pairs": 0}
+    assert D.LAST_SPAN_METRICS == {"truncated_pairs": 0,
+                                   "dropped_anchor_pairs": 0}
     # pair (3,4): 12-char overlap < min_len → nothing
     assert all((r.id_a, r.id_b) != (3, 4) for r in spans)
     # pair (1,2): exactly the planted block, at its true offsets (the
@@ -109,3 +110,45 @@ def test_compression_ratio_semantics_and_zlib_parity(spark):
         assert got[did].n_compressed == len(zlib.compress(
             text.encode("utf-8"), 6))
         assert got[did].n_bytes == len(text.encode("utf-8"))
+
+
+def test_duplicate_spans_adversarial_repetitive_pair_is_bounded(spark):
+    """r7 VERDICT what's-wrong #2: one ~200k-char highly repetitive
+    near-dup pair made the difflib formulation a multi-hour straggler.
+    The anchor-extension rewrite must finish in seconds, still find the
+    duplication, and count what the hot-gram caps skipped."""
+    import time
+
+    period = "spam and eggs bacon spam sausage and spam "    # 42 chars
+    ta = period * 4700 + "unique tail alpha beta gamma"       # ~197k chars
+    tb = period * 4700 + "different coda delta epsilon zeta"
+    docs = spark.createDataFrame([(1, ta), (2, tb)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+
+    t0 = time.perf_counter()
+    m: dict = {}
+    spans = D.duplicate_spans(docs, pairs, min_len=50, metrics=m).collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"adversarial pair took {elapsed:.1f}s"
+    # the repeated block IS found (one extension covers ~the whole text)
+    assert max(r.length for r in spans) > len(period) * 4000
+    for r in spans:
+        assert ta[r.start_a:r.start_a + r.length] == \
+            tb[r.start_b:r.start_b + r.length]
+    # hot grams were capped, loudly
+    assert m["dropped_anchor_pairs"] > 0 and m["truncated_pairs"] == 0
+
+
+def test_duplicate_spans_string_ids(spark):
+    """id columns follow docs' id dtype (ADVICE r7): string doc ids must
+    survive the Arrow round-trip, not fail or null out under a hardcoded
+    LongType schema."""
+    shared = "an identical block of text long enough to clear the fifty " \
+             "character minimum span length easily"
+    docs = spark.createDataFrame(
+        [("doc/a", "prefix one two three " + shared),
+         ("doc/b", shared + " suffix four five six")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([("doc/a", "doc/b")], ["id_a", "id_b"])
+    rows = D.duplicate_spans(docs, pairs, min_len=50).collect()
+    assert rows and all((r.id_a, r.id_b) == ("doc/a", "doc/b") for r in rows)
