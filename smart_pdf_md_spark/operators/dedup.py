@@ -974,3 +974,87 @@ def span_coverage(docs: DataFrame, spans: DataFrame,
                         F.when(F.col("n_chars") == 0, F.lit(0.0))
                         .otherwise(F.round(F.col("dup_chars") /
                                            F.col("n_chars") + 1e-9, 4))))
+
+
+def remove_spans(docs: DataFrame, spans: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Lee et al. 2022 INTERVENTION for :func:`duplicate_spans`'
+    signal: rewrite documents with their duplicated character intervals
+    excised, keep-first-occurrence across each pair — the a-side of a
+    span keeps its text, the b-side loses [start_b, start_b+length). A
+    doc never named on any b-side passes through byte-identical.
+
+    Returns docs with ``text_col`` rewritten plus audit/lineage columns:
+    ``n_removed_chars`` (exact, interval-union — overlapping spans never
+    double-count), ``was_rewritten``, and ``content_sha256`` recomputed
+    over the NEW text (the pipeline lineage invariant: downstream
+    manifests digest what was actually emitted, not the pre-surgery
+    bytes).
+
+    Pure Columns end to end (ANSI-expressible): the b-side intervals are
+    island-merged per doc (the span_coverage window — spans-bounded, not
+    corpus-bounded), collected into one sorted array per rewritten doc,
+    and the excision is a single F.aggregate fold that concatenates the
+    kept slices — one pass over each rewritten text, no Python UDF, no
+    shuffle beyond the spans-sized groupBy and one join back to docs."""
+    b = spans.select(F.col("id_b").alias("id"),
+                     F.col("start_b").alias("start"),
+                     (F.col("start_b") + F.col("length")).alias("end"))
+    w_prev = (Window.partitionBy("id").orderBy("start", "end")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    islanded = (b
+                .withColumn("_pmax", F.max("end").over(w_prev))
+                .withColumn("_new", (F.col("_pmax").isNull() |
+                                     (F.col("start") > F.col("_pmax")))
+                            .cast("int"))
+                .withColumn("_island", F.sum("_new").over(
+                    Window.partitionBy("id").orderBy("start", "end")
+                    .rowsBetween(Window.unboundedPreceding, 0))))
+    ivs = (islanded.groupBy("id", "_island")
+           .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+           .groupBy("id")
+           .agg(F.sort_array(F.collect_list(F.struct("start", "end")))
+                .alias("_ivs")))
+
+    # the ORIGINAL text rides under a private name: re-aliasing the
+    # rewritten text as text_col in the output select would otherwise make
+    # every later text_col reference resolve to the new LATERAL alias
+    # (Spark's implicit lateral-column-alias resolution) — the audit
+    # columns would silently measure a twice-rewritten text
+    text = F.col("_orig")
+    # clamp to the doc (a foreign spans table may overrun); merged+sorted
+    # intervals stay monotone under clamping
+    clamped = F.transform(
+        F.col("_ivs"),
+        lambda iv: F.struct(
+            F.greatest(iv.start.cast("bigint"),
+                       F.lit(0).cast("bigint")).alias("start"),
+            F.least(iv.end.cast("bigint"),
+                    F.length(text).cast("bigint")).alias("end")))
+    acc0 = F.struct(F.lit(0).cast("bigint").alias("pos"),
+                    F.lit("").alias("out"))
+    rewritten = F.aggregate(
+        clamped, acc0,
+        lambda acc, iv: F.struct(
+            F.greatest(acc.pos, iv.end).alias("pos"),
+            F.concat(acc.out, text.substr(
+                (acc.pos + 1).cast("int"),
+                F.greatest(iv.start - acc.pos,
+                           F.lit(0).cast("bigint")).cast("int")))
+            .alias("out")),
+        lambda acc: F.concat(
+            acc.out, text.substr(
+                (acc.pos + 1).cast("int"),
+                F.greatest(F.length(text).cast("bigint") - acc.pos,
+                           F.lit(0).cast("bigint")).cast("int"))))
+    new_text = F.when(F.col("_ivs").isNull(), text).otherwise(rewritten)
+
+    other = [c for c in docs.columns if c not in (id_col, text_col)]
+    return (docs.withColumnRenamed(text_col, "_orig")
+            .join(ivs.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col, *other,
+                    new_text.alias(text_col),
+                    (F.length(text) - F.length(new_text)).cast("int")
+                    .alias("n_removed_chars"),
+                    F.col("_ivs").isNotNull().alias("was_rewritten"),
+                    F.sha2(new_text, 256).alias("content_sha256")))

@@ -152,3 +152,58 @@ def test_duplicate_spans_string_ids(spark):
     pairs = spark.createDataFrame([("doc/a", "doc/b")], ["id_a", "id_b"])
     rows = D.duplicate_spans(docs, pairs, min_len=50).collect()
     assert rows and all((r.id_a, r.id_b) == ("doc/a", "doc/b") for r in rows)
+
+
+def test_remove_spans_excises_b_side_with_lineage(spark):
+    """The Lee et al. intervention: the b-side of each span loses the
+    duplicated interval (keep-first policy), overlaps union, untouched
+    docs pass through byte-identical, and content_sha256 reflects the
+    REWRITTEN text."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdefghij"),     # b-side of two overlapping spans
+         (2, "never named on a b side"),
+         (3, "short")],                   # b-side span overruns the doc
+    ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(9, 1, 0, 2, 6),    # doc 1 loses [2,8)
+         (9, 1, 0, 5, 5),    # doc 1 loses [5,10) — overlaps → union [2,10)
+         (9, 1, 0, 15, 3),   # doc 1 loses [15,18)
+         (9, 3, 0, 3, 99)],  # doc 3 loses [3,102) → clamped to [3,5)
+        ["id_a", "id_b", "start_a", "start_b", "length"])
+
+    got = {r.doc_id: r for r in D.remove_spans(docs, spans).collect()}
+    assert got[1].text == "01abcdeij"
+    assert got[1].text == "0123456789abcdefghij"[:2] + \
+        "0123456789abcdefghij"[10:15] + "0123456789abcdefghij"[18:]
+    assert got[1].n_removed_chars == 11 and got[1].was_rewritten
+    assert got[2].text == "never named on a b side"
+    assert got[2].n_removed_chars == 0 and not got[2].was_rewritten
+    assert got[3].text == "sho" and got[3].n_removed_chars == 2
+    for r in got.values():
+        assert r.content_sha256 == hashlib.sha256(
+            r.text.encode("utf-8")).hexdigest()
+
+
+def test_remove_spans_then_coverage_is_zero(spark):
+    """End-to-end: find spans, excise them, re-find — the cleaned corpus
+    has (near-)zero duplicate-span coverage because the b-side no longer
+    shares the block."""
+    rng = random.Random(23)
+    shared = " ".join(f"shared{i}" for i in range(30))
+    ta = _rand_words(rng, 20, "p") + " " + shared + " " + \
+        _rand_words(rng, 20, "q")
+    tb = _rand_words(rng, 15, "r") + " " + shared
+    docs = spark.createDataFrame([(1, ta), (2, tb)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+
+    spans = D.duplicate_spans(docs, pairs, min_len=50)
+    cleaned = D.remove_spans(docs, spans).select("doc_id", "text")
+    respans = D.duplicate_spans(cleaned, pairs, min_len=50)
+    cov = {r.id: r.dup_fraction
+           for r in D.span_coverage(cleaned, respans).collect()}
+    assert cov[1] == 0.0 and cov[2] == 0.0
+    # the a-side kept its copy verbatim
+    a_text = cleaned.filter("doc_id = 1").collect()[0].text
+    assert shared in a_text and a_text == ta
