@@ -176,3 +176,21 @@ def test_bpe_token_count_oov_fallback_is_counted(spark):
         (n["low"] + len("zebra") + 1, 1)
     assert (got[3].n_bpe_tokens, got[3].n_oov_words) == \
         (len("qux") + 1 + len("zebra") + 1, 2)
+
+
+def test_bpe_delta_rounds_touch_only_affected_words(spark):
+    """The r8 delta formulation: each merge round's explode is bounded by
+    the words that actually contained the merged pair — measured via
+    round_stats — while the merge list stays bit-identical to the
+    reference recount."""
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    wf = B.word_freq_table(docs)
+    stats: list = []
+    merges = B.bpe_train(wf, n_merges=10, round_stats=stats)
+    want, _ = _ref_bpe({r.word: r.n for r in wf.collect()}, 10)
+    assert merges == want and len(stats) == 10
+
+    vocab = stats[0]["vocab_words"]
+    assert all(0 < s["affected_words"] <= vocab for s in stats)
+    # merges specialize: most rounds touch a strict subset of the vocab
+    assert min(s["affected_words"] for s in stats) < vocab
