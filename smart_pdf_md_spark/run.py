@@ -81,6 +81,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] Gopher duplicate-3-gram cut; pass a "
                          "value >= 1 to disable")
     ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--dsir-target", help="[curate] target-corpus parquet "
+                                          "(doc_id, text); with "
+                                          "--dsir-keep enables the DSIR "
+                                          "importance-resampling stage")
+    ap.add_argument("--dsir-keep", type=int,
+                    help="[curate] number of docs the DSIR stage keeps")
+    ap.add_argument("--embeddings", help="[curate] (doc_id, embedding) "
+                                         "parquet; with --semdedup-eps "
+                                         "enables the SemDeDup stage")
+    ap.add_argument("--semdedup-eps", type=float,
+                    help="[curate] SemDeDup cosine epsilon (drop above "
+                         "1-eps within a cluster)")
+    ap.add_argument("--max-dup-span-fraction", type=float,
+                    help="[curate] drop docs whose exact-duplicate-span "
+                         "coverage exceeds this fraction")
+    ap.add_argument("--remove-dup-spans", action="store_true",
+                    help="[curate] excise duplicated spans (Lee et al. "
+                         "intervention) instead of dropping whole docs")
     ap.add_argument("--chunk-tokens", type=int, default=100)
     ap.add_argument("--chunk-overlap", type=int, default=20)
     ap.add_argument("--dry-run", action="store_true",
@@ -232,11 +250,20 @@ def _run_curate(args) -> int:
         docs = spark.read.parquet(args.docs)
         bench = spark.read.parquet(args.benchmarks) if args.benchmarks else None
         dup_ngram = args.dup_ngram_max if args.dup_ngram_max < 1 else None
+        dsir_target = (spark.read.parquet(args.dsir_target)
+                       if args.dsir_target else None)
+        embeddings = (spark.read.parquet(args.embeddings)
+                      if args.embeddings else None)
         res = run_curation(
             spark, docs, args.run_dir,
             quality_min=args.quality_min, dup_line_max=args.dup_line_max,
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
-            benchmarks=bench, chunk_tokens=args.chunk_tokens,
+            benchmarks=bench,
+            dsir_target=dsir_target, dsir_keep=args.dsir_keep,
+            embeddings=embeddings, semdedup_eps=args.semdedup_eps,
+            max_dup_span_fraction=args.max_dup_span_fraction,
+            remove_dup_spans=args.remove_dup_spans,
+            chunk_tokens=args.chunk_tokens,
             overlap=args.chunk_overlap)
         if args.out:
             res["chunks"].write.mode("overwrite").parquet(args.out)

@@ -385,3 +385,153 @@ def test_curation_ppl_bucket_stage(spark, tmp_path):
     res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
                         dedup_threshold=1.01, ppl_keep=("head", "middle"))
     assert res2["resumed"]["lm"] is True        # same params → resume
+
+
+def _mix_docs(spark, n_common=10, n_rare=4):
+    """Docs that all clear the quality filter: a 'common' population plus
+    a distinctive 'rare' population for target/selection stages."""
+    common = ("the story of it is on a hill and for the day it was a "
+              "good one in the end with more words to pass")
+    rows = [(i, common + f" variant{i} " +
+             " ".join(f"filler{i}w{j}" for j in range(10)), "en")
+            for i in range(n_common)]
+    rows += [(100 + i, "the tale was that " +
+              " ".join(f"special{i}tok{j} marker{j}" for j in range(12)) +
+              " and it was a fine one for the day in all", "en")
+             for i in range(n_rare)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_curation_dsir_stage_accounting_resume_and_rebuild(spark, tmp_path):
+    """dsir_target+dsir_keep: the committed DSIR stage keeps exactly
+    dsir_keep docs biased toward the target, carries audit columns,
+    resumes with unchanged params, and rebuilds when the TARGET CONTENT
+    changes (same path, different rows — the bench_fp discipline)."""
+    docs = _mix_docs(spark)
+    # target looks like the 'rare' population
+    target = spark.createDataFrame(
+        [(1, "special0tok0 marker0 special1tok1 marker1 special2tok2 "
+             "marker2 special3tok3 marker3")], ["doc_id", "text"])
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01,
+                       dsir_target=target, dsir_keep=6)
+    assert res["summary"]["after_dsir"] == 6
+    assert res["summary"]["after_filter"] >= 13
+    dsir_ids = {r.doc_id for r in res["dsir"].select("doc_id").collect()}
+    # all four target-like docs selected (their log_ratio dominates)
+    assert {100, 101, 102, 103} <= dsir_ids
+    assert {"log_ratio", "_gumbel_key"} <= set(res["dsir"].columns)
+    # dedup and chunks run DOWNSTREAM of the selection
+    assert res["summary"]["after_dedup"] <= 6
+    assert res["chunks"].select("doc_id").distinct().count() \
+        == res["summary"]["after_dedup"]
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        dsir_target=target, dsir_keep=6)
+    assert res2["resumed"]["dsir"] is True
+    assert res2["summary"] == res["summary"]
+
+    other_target = spark.createDataFrame(
+        [(1, "filler0w0 filler0w1 filler1w0 filler1w1 variant0 variant1")],
+        ["doc_id", "text"])
+    res3 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        dsir_target=other_target, dsir_keep=6)
+    assert res3["resumed"]["dsir"] is False     # content fp changed
+    ids3 = {r.doc_id for r in res3["dsir"].select("doc_id").collect()}
+    assert ids3 != dsir_ids                     # selection followed target
+
+    with pytest.raises(ValueError, match="supplied together"):
+        run_curation(spark, docs, run_dir, dsir_keep=6)
+
+
+def test_curation_semdedup_stage(spark, tmp_path):
+    """semdedup_eps+embeddings: near-identical-direction embeddings
+    collapse after lexical dedup; docs WITHOUT an embedding pass through;
+    an eps change rebuilds the stage."""
+    docs = _mix_docs(spark, n_common=6, n_rare=2)
+    # doc 0/1/2 share a direction (near-dups in embedding space), 3/4/5
+    # distinct; rare docs 100/101 have NO embedding row
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.001, 0.0, 0.0]),
+         (2, [1.0, 0.002, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0, 1.0, 0.0]), (5, [0.0, 0.0, 0.0, 1.0])],
+        ["doc_id", "embedding"])
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01,
+                       embeddings=emb, semdedup_eps=0.05, semdedup_lists=2)
+    ids = {r.doc_id for r in res["semdedup"].select("doc_id").collect()}
+    assert {100, 101} <= ids                    # no embedding → kept
+    assert {3, 4, 5} <= ids                     # distinct directions kept
+    assert len({0, 1, 2} & ids) == 1            # the near-dup trio collapses
+    assert res["summary"]["after_semdedup"] == len(ids)
+    assert res["summary"]["after_semdedup"] < res["summary"]["after_dedup"]
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        embeddings=emb, semdedup_eps=0.05,
+                        semdedup_lists=2)
+    assert res2["resumed"]["semdedup"] is True
+
+    res3 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        embeddings=emb, semdedup_eps=0.9,
+                        semdedup_lists=2)
+    assert res3["resumed"]["semdedup"] is False  # knob change → rebuild
+
+    with pytest.raises(ValueError, match="embeddings"):
+        run_curation(spark, docs, run_dir, semdedup_eps=0.05)
+
+
+def test_curation_span_stage_drop_and_remove(spark, tmp_path):
+    """max_dup_span_fraction drops heavily-span-covered docs;
+    remove_dup_spans instead excises the b-side intervals with exact
+    char accounting in the summary; the mode flip rebuilds the stage."""
+    block = " ".join(f"license{i} term{i} clause{i}" for i in range(20))
+    filler_a = ("the story of it is on a hill and for the day it was a "
+                "good one in the end entirely original alpha " +
+                " ".join(f"original{j} prose{j} alone{j}" for j in range(40)))
+    rows = [
+        (1, filler_a + " " + block, "en"),            # a-side keeps block
+        (2, block + " tiny extra suffix here", "en"), # b-side ~all dup
+        (3, "the tale was that " + " ".join(
+            f"unique{j} word{j}" for j in range(15)) +
+            " and it was a fine one for the day", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    run_dir = str(tmp_path / "drop")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01,
+                       max_dup_span_fraction=0.5)
+    ids = {r.doc_id for r in res["spans"].select("doc_id").collect()}
+    assert 2 not in ids and {1, 3} <= ids       # b-side over threshold
+    assert res["summary"]["after_spans"] == 2
+    assert "span_chars_removed" not in res["summary"]
+
+    run_dir2 = str(tmp_path / "remove")
+    res2 = run_curation(spark, docs, run_dir2, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        remove_dup_spans=True)
+    assert res2["summary"]["after_spans"] == 3  # nothing dropped
+    assert res2["summary"]["span_chars_removed"] > len(block) // 2
+    spans_rows = {r.doc_id: r for r in res2["spans"].collect()}
+    assert spans_rows[2].was_rewritten and \
+        spans_rows[2].n_removed_chars > 0
+    assert not spans_rows[3].was_rewritten
+    assert "license3" in spans_rows[1].text     # a-side kept its copy
+    assert "license3" not in spans_rows[2].text
+    # chunks build from the REWRITTEN text
+    assert res2["chunks"].filter(
+        (F.col("doc_id") == 2) &
+        F.col("chunk_text").contains("license3")).count() == 0
+
+    # mode flip on the same run_dir rebuilds
+    res4 = run_curation(spark, docs, run_dir2, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        max_dup_span_fraction=0.5)
+    assert res4["resumed"]["spans"] is False
+    assert res4["summary"]["after_spans"] == 2
