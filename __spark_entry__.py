@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from smart_pdf_md_spark.operators import bpe as BP  # noqa: E402
 from smart_pdf_md_spark.operators import dedup as D  # noqa: E402
 from smart_pdf_md_spark.operators import lm as LM  # noqa: E402
 from smart_pdf_md_spark.operators import multimodal as MM  # noqa: E402
@@ -758,20 +759,31 @@ def _text_fingerprint(spark, sf):
     return TS.fingerprint(_t(spark, sf, "documents"))
 
 
+# r8: hash-grams on BOTH sides (r7 VERDICT next-round #6) — token hash =
+# 48-bit md5 prefix parsed to BIGINT (identical in both engines), gram =
+# shift-7/XOR combine over the 3-window, fingerprint = numeric min; sub-3-
+# token docs fall back to the 48-bit hash of the whole text. No gram
+# string and no per-gram md5 on either side.
 _FINGERPRINT_SQL = """
 WITH base AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
   FROM documents
+), hashed AS (
+  SELECT doc_id, text, tk,
+         list_transform(tk,
+           t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)) AS th
+  FROM base
 )
 SELECT doc_id,
-       CASE WHEN len(tk) < 3 THEN md5(text)
+       CASE WHEN len(tk) < 3
+            THEN CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)
             ELSE list_min(list_transform(
                    range(1, greatest(len(tk) - 3, 0) + 2),
-                   i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                   i -> xor(xor(th[i] << 7, th[i+1]) << 7, th[i+2])))
        END AS fingerprint
-FROM base
+FROM hashed
 """
 
 
@@ -1363,6 +1375,135 @@ def _hll_documents(spark, sf):
         "p int, est_distinct double, exact_distinct bigint")
 
 
+def _oov_rate_q(spark, sf):
+    # per-doc OOV rate against a SELF-CONTAINED vocabulary: the corpus'
+    # own words with total count >= 5 (operators/bpe.py:oov_rate) — the
+    # corpus-vs-vocab fit signal, full value parity
+    docs = _t(spark, sf, "documents")
+    vocab = BP.word_freq_table(docs).filter(F.col("n") >= 5)
+    return BP.oov_rate(docs, vocab)
+
+
+_OOV_SQL = r"""
+WITH stream AS (
+  SELECT doc_id, lower(unnest(tk)) AS word FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+    FROM documents)
+), vocab AS (
+  SELECT word FROM stream GROUP BY word HAVING count(*) >= 5
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_oov,
+       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) + 1e-9, 4) AS oov_rate
+FROM stream s LEFT JOIN vocab v USING (word)
+GROUP BY doc_id
+"""
+
+
+def _span_coverage_q(spark, sf):
+    # interval-union duplicated-char coverage (operators/dedup.py:
+    # span_coverage) over a DETERMINISTIC synthetic spans relation derived
+    # from the documents table in BOTH engines (1-3 spans per doc >40
+    # chars, arithmetic offsets): pins the island-window union exactly
+    docs = _t(spark, sf, "documents")
+    base = (docs.select("doc_id", F.length("text").alias("n_chars"))
+            .filter("n_chars > 40"))
+    spans = (base
+             .select("doc_id", "n_chars",
+                     F.explode(F.sequence(
+                         F.lit(0), F.pmod(F.col("doc_id"), F.lit(3))))
+                     .alias("j"))
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b"),
+                     F.pmod(F.col("doc_id") * 37 + F.col("j") * 53,
+                            F.col("n_chars") - 20).cast("int")
+                     .alias("start_a"),
+                     F.pmod(F.col("doc_id") * 11 + F.col("j") * 29,
+                            F.col("n_chars") - 20).cast("int")
+                     .alias("start_b"),
+                     (F.lit(10) + F.pmod(F.col("doc_id") + F.col("j"),
+                                         F.lit(25))).cast("int")
+                     .alias("length")))
+    return D.span_coverage(docs, spans)
+
+
+_SPAN_COV_SQL = """
+WITH d AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+gen AS (
+  SELECT doc_id, n_chars, unnest(range(0, (doc_id % 3) + 1)) AS j
+  FROM d WHERE n_chars > 40
+), sp AS (
+  SELECT doc_id,
+         (doc_id * 37 + j * 53) % (n_chars - 20) AS start_a,
+         (doc_id * 11 + j * 29) % (n_chars - 20) AS start_b,
+         10 + (doc_id + j) % 25 AS len
+  FROM gen
+), sides AS (
+  SELECT doc_id AS id, start_a AS s, start_a + len AS e FROM sp
+  UNION ALL
+  SELECT doc_id, start_b, start_b + len FROM sp
+), w AS (
+  SELECT id, s, e,
+         max(e) OVER (PARTITION BY id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM sides
+), isl AS (
+  SELECT id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM w
+), cov AS (
+  SELECT id, island, max(e) - min(s) AS ext FROM isl GROUP BY id, island
+), per_doc AS (SELECT id, sum(ext) AS dup_chars FROM cov GROUP BY id)
+SELECT d.doc_id AS id, d.n_chars,
+       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN d.n_chars = 0 THEN 0.0
+            ELSE round(coalesce(p.dup_chars, 0) * 1.0 / d.n_chars
+                       + 1e-9, 4) END AS dup_fraction
+FROM d LEFT JOIN per_doc p ON p.id = d.doc_id
+"""
+
+
+def _tfidf_keywords_q(spark, sf):
+    # top-3 distinctive terms per doc under smoothed TF-IDF
+    # (operators/retrieval.py:tfidf_keywords — shares bm25_index); rank
+    # on the ROUNDED score in both engines (driver-contract rule)
+    return R.tfidf_keywords(_t(spark, sf, "documents"), k=3)
+
+
+_TFIDF_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+    FROM base WHERE len(toks) > 0)
+  GROUP BY doc_id, dl, term
+), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM base WHERE len(toks) > 0),
+scored AS (
+  SELECT doc_id, term,
+         round((tf * 1.0 / dl) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+               + 1e-9, 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS INT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
+
+
 _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (_q1_pricing, _Q1_SQL),
     "s1_scan_project": (_s1_scan_project, _S1_SQL),
@@ -1370,17 +1511,14 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "p1_textual_predicate": (_p1_textual, _P1_SQL),
     "p2_routing": (_p2_routing, _P2_SQL),
     "a1_run_summary": (_a1_run_summary, _A1_SQL),
-    "a2_first_error": (_a2_first_error, _A2_SQL),
     "j1_broadcast_join": (_j1_broadcast, _J1_SQL),
     "j4_anti_join": (_j4_anti, _J4_SQL),
-    "j5_semi_join": (_j5_semi, _J5_SQL),
     "w1_topk_per_group": (_w1_topk, _W1_SQL),
     "w3_sessionize": (_w3_sessionize, _W3_SQL),
     "set_union_except": (_set_ops, _SET_SQL),
     "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
     "agg_cube": (_agg_cube, _CUBE_SQL),
     "agg_median_percentile": (_agg_median, _MEDIAN_SQL),
-    "f1_json_extract": (_f1_json_extract, _F1_SQL),
     "j5b_salted_agg": (_j5b_salted_agg, _J5B_SQL),
     "t1_grouped_zscore": (_t1_grouped_zscore, _T1_SQL),
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_SQL),
@@ -1449,6 +1587,18 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "cap_per_group": (_cap_per_group_q, _CAP_SQL),
     "ann_topk_pq": (_ann_pq, None),
     "hll_documents": (_hll_documents, None),
+    # r8 board rotation (r7 VERDICT next-round #4) — the 50-slot cap
+    # forces swaps. OFF three long-pinned trivial rows, each with a
+    # sibling still on board: f1_json_extract (scalar-function machinery
+    # pinned by the text_* oracle pairs + f2 pytest), a2_first_error (the
+    # run-summary family pinned by a1_run_summary + the status-taxonomy
+    # tests), j5_semi_join (the skew family pinned by j5b_salted_agg +
+    # operators/skew.py tests). ON: the three round-7 operators whose
+    # DuckDB parity SQL already existed in tests — now full oracle rows.
+    # Retired builders stay defined for tests and callers.
+    "oov_rate": (_oov_rate_q, _OOV_SQL),
+    "span_coverage": (_span_coverage_q, _SPAN_COV_SQL),
+    "tfidf_keywords": (_tfidf_keywords_q, _TFIDF_SQL),
 }
 
 

@@ -246,21 +246,56 @@ def grouped_zscore(df: DataFrame, group_col: str = "lang",
         .groupBy(group_col).applyInPandas(per_group, schema=out_schema)
 
 
+def _md5_48(col: Column) -> Column:
+    """48-bit integer md5 prefix — the cross-ENGINE hashable token hash:
+    md5 hex is identical in Spark and DuckDB, and 12 hex chars parse to
+    the same BIGINT on both (Spark conv(…,16,10); DuckDB
+    CAST('0x'||… AS BIGINT)). 48 bits leaves shift headroom below the
+    int64 sign bit for the gram combine."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Document fingerprint: lexicographic min over md5(token 3-gram) — a
+    """Document fingerprint: numeric min over hashed token 3-grams — a
     winnowing-style content signature (cf. Schleimer/Wilkerson/Aiken,
-    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003) that is stable under whitespace layout
-    and cheap to compare across engines (md5 hex is identical in Spark and
-    DuckDB). Documents shorter than n tokens fall back to md5(text)."""
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003) that is stable under whitespace layout and identical
+    across engines. Documents shorter than n tokens fall back to the
+    48-bit hash of the whole text.
+
+    r8 (VERDICT r7 next-round #6): the LAST string-gram construction
+    rotated to hash-grams — each token is md5'd ONCE into a 48-bit int
+    (:func:`_md5_48`), and a gram's hash is a shift-7/XOR combine over
+    its n-window (max 48 + 7·(n−1) bits — inside int64 for n ≤ 3, no
+    overflow, no masking). No per-position gram STRING or per-gram md5 is
+    ever built, and the token-hash array is evaluated once via the
+    gram_hash_arr lambda-binding trick. Unlike the xxhash64 grams the
+    rest of the repo uses, this hash has a DuckDB twin, so the oracle
+    pair stays a full value-parity row (the sketches.py rule's one
+    deliberate exception)."""
+    if n > 3:
+        raise ValueError("fingerprint: n > 3 would shift past the int64 "
+                         "sign bit (48 + 7*(n-1) bits); use "
+                         "winnow_fingerprints for wider grams")
     toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    fp = F.when(F.size(toks) < n, F.md5(F.col(text_col))).otherwise(
-        F.array_min(F.transform(grams, F.md5))
-    )
-    return df.select("doc_id", fp.alias("fingerprint"))
+    th = F.transform(toks, _md5_48)
+
+    def gram(a, i):
+        h = F.element_at(a, i + 1)
+        for k in range(1, n):
+            h = F.shiftleft(h, 7).bitwiseXOR(F.element_at(a, i + 1 + k))
+        return h
+
+    fp = F.aggregate(
+        F.array(th),
+        F.lit(None).cast("array<bigint>"),
+        lambda acc, a: F.when(
+            F.size(a) >= n,
+            F.array(F.array_min(F.transform(
+                F.sequence(F.lit(0), F.size(a) - n),
+                lambda i: gram(a, i)))),
+        ).otherwise(F.array(_md5_48(F.col(text_col)))))
+    return df.select("doc_id", F.element_at(fp, 1).alias("fingerprint"))
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
