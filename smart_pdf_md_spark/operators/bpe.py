@@ -213,8 +213,9 @@ def bpe_encode_table(word_freqs: DataFrame,
 
 def bpe_token_count(docs: DataFrame, encoded_vocab: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
-                    lowercase: bool = True) -> DataFrame:
-    """→ (doc_id, n_bpe_tokens, n_oov_words) — per-document token budget
+                    lowercase: bool = True,
+                    id_cols: list[str] | None = None) -> DataFrame:
+    """→ (*ids, n_bpe_tokens, n_oov_words) — per-document token budget
     under the LEARNED tokenizer (the real-vocabulary upgrade of
     textstats.token_count's regex proxy). The corpus token stream joins
     the encoded vocabulary on `word` (broadcast when the vocab fits,
@@ -227,16 +228,21 @@ def bpe_token_count(docs: DataFrame, encoded_vocab: DataFrame,
     zero-merge worst case — every char a symbol plus the end-of-word mark,
     exactly what bpe_encode_table would emit for an unseen word before any
     merge applies... an upper bound once merges exist), and the per-doc
-    OOV word count surfaces as ``n_oov_words`` so the fallback is loud."""
+    OOV word count surfaces as ``n_oov_words`` so the fallback is loud.
+
+    ``id_cols`` overrides the single ``id_col`` for composite-keyed rows
+    — e.g. chunk tables keyed (doc_id, chunk_idx), the real-tokenizer
+    budget feeding pack_sequences(len_col="n_bpe_tokens")."""
+    keys = list(id_cols) if id_cols else [id_col]
     toks = tokens_col(F.col(text_col))
     w = F.explode(toks).alias("word")
-    stream = docs.select(F.col(id_col).alias("doc_id"), w)
+    stream = docs.select(*keys, w)
     if lowercase:
-        stream = stream.select("doc_id", F.lower("word").alias("word"))
+        stream = stream.select(*keys, F.lower("word").alias("word"))
     joined = stream.join(encoded_vocab.select("word", "n_bpe"),
                          "word", "left")
     cost = F.coalesce(F.col("n_bpe"), F.length("word") + 1)
-    return (joined.groupBy("doc_id")
+    return (joined.groupBy(*keys)
             .agg(F.sum(cost).cast("int").alias("n_bpe_tokens"),
                  F.sum(F.col("n_bpe").isNull().cast("int")).cast("int")
                  .alias("n_oov_words")))

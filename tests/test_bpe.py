@@ -194,3 +194,51 @@ def test_bpe_delta_rounds_touch_only_affected_words(spark):
     assert all(0 < s["affected_words"] <= vocab for s in stats)
     # merges specialize: most rounds touch a strict subset of the vocab
     assert min(s["affected_words"] for s in stats) < vocab
+
+
+def test_pack_sequences_with_real_bpe_budgets(spark):
+    """VERDICT r7 #7: the learned-vocab token budget replaces the regex
+    proxy in the packing path — chunk-level bpe_token_count (composite
+    key) feeds pack_sequences(len_col='n_bpe_tokens'); packs respect the
+    budget under REAL tokenizer counts and assignments stay deterministic
+    across partitionings."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.textstats import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j % 7}" for j in range(10 + i * 3)))
+         for i in range(8)], ["doc_id", "text"])
+    wf = B.word_freq_table(docs)
+    enc = B.bpe_encode_table(wf, B.bpe_train(wf, n_merges=8))
+
+    chunks = chunk_documents(docs, chunk_tokens=6, overlap=0)
+    counts = B.bpe_token_count(chunks, enc, text_col="chunk_text",
+                               id_cols=["doc_id", "chunk_idx"])
+    budgeted = chunks.join(counts, ["doc_id", "chunk_idx"])
+    assert budgeted.filter("n_oov_words > 0").count() == 0  # own vocab
+
+    budget = 40
+    packed = pack_sequences(budgeted, budget_tokens=budget,
+                            len_col="n_bpe_tokens")
+    rows = packed.collect()
+    assert len(rows) == budgeted.count()
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m.n_bpe_tokens for m in members)
+        assert all(m.pack_tokens == total for m in members)
+        if not any(m.overflow for m in members):
+            assert total <= budget
+    # real-BPE budget differs from the regex proxy (the point of wiring)
+    assert budgeted.filter(
+        F.col("n_bpe_tokens") == F.col("chunk_len")).count() \
+        < budgeted.count()
+
+    again = pack_sequences(budgeted.repartition(7), budget_tokens=budget,
+                           len_col="n_bpe_tokens")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
