@@ -17,17 +17,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smart_pdf_md_spark.operators import bpe as B          # noqa: E402
 from smart_pdf_md_spark.session import build_session       # noqa: E402
-from smart_pdf_md_spark.sources.tables import load_table   # noqa: E402
 
 
 def main() -> None:
     n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else \
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # the sf documents tables draw from a ~30-word synthetic vocabulary —
+    # useless for affected-fraction evidence; the KG corpus generator's
+    # source-code content has a realistically large identifier vocabulary
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = build_session(app_name="bpe-round-bench",
                           master=f"local[{cpus}]")
-    docs = load_table(spark, sf_dir, "documents")
+    from smart_pdf_md_spark.corpus import corpus_df
+    docs = corpus_df(spark, n_files).selectExpr("content as text")
     wf = B.word_freq_table(docs).localCheckpoint(eager=True)
     stats: list = []
     merges = B.bpe_train(wf, n_merges=n_merges, round_stats=stats)
@@ -41,17 +43,20 @@ def main() -> None:
             "mean_affected_frac": round(
                 sum(s["affected_words"] / s["vocab_words"]
                     for s in chunk) / len(chunk), 4),
+            "mean_exploded_frac": round(
+                sum(s["affected_syms"] / max(1, s["vocab_syms"])
+                    for s in chunk) / len(chunk), 4),
         }
 
     print(json.dumps({
         "n_merges_applied": len(merges),
         "vocab_words": stats[0]["vocab_words"] if stats else 0,
         "quartiles": [agg(c) for c in qs if c],
-        "first5": [{k: s[k] for k in ("sec", "affected_words")}
+        "first5": [{k: s[k] for k in ("sec", "affected_words", "affected_syms")}
                    for s in stats[:5]],
-        "last5": [{k: s[k] for k in ("sec", "affected_words")}
+        "last5": [{k: s[k] for k in ("sec", "affected_words", "affected_syms")}
                   for s in stats[-5:]],
-        "sf_dir": sf_dir,
+        "n_files": n_files,
     }))
     spark.stop()
 

@@ -172,8 +172,16 @@ def bpe_train(word_freqs: DataFrame, n_merges: int = 100,
         state = state.filter(~adjacent).unionByName(merged) \
             .coalesce(p0).localCheckpoint(eager=True)
         if round_stats is not None:
-            round_stats.append({"affected_words": affected.count(),
+            sizes = affected.agg(
+                F.count("*").alias("w"),
+                F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("s")) \
+                .collect()[0]
+            vocab_syms = state.agg(
+                F.sum(F.size("syms"))).collect()[0][0]
+            round_stats.append({"affected_words": int(sizes["w"]),
+                                "affected_syms": int(sizes["s"]),
                                 "vocab_words": n_words,
+                                "vocab_syms": int(vocab_syms),
                                 "sec": round(time.perf_counter() - t0, 4)})
     return merges
 

@@ -1058,3 +1058,111 @@ def remove_spans(docs: DataFrame, spans: DataFrame,
                     .alias("n_removed_chars"),
                     F.col("_ivs").isNotNull().alias("was_rewritten"),
                     F.sha2(new_text, 256).alias("content_sha256")))
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n",
+                     min_chars: int = 1) -> DataFrame:
+    """Corpus-wide PARAGRAPH/LINE-level exact deduplication — the CCNet
+    preprocessing step (Wenzek et al. 2020, "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data"): a line duplicated
+    ACROSS documents (navigation boilerplate, cookie banners, license
+    headers) keeps exactly its FIRST occurrence — min (doc_id, position)
+    over the whole corpus, deterministic at any parallelism — and is
+    removed everywhere else. Documents are rewritten in place.
+
+    Returns docs with ``text_col`` rewritten plus audit/lineage columns:
+    n_lines, n_removed_lines, removed_chars, was_rewritten, and
+    content_sha256 recomputed over the NEW text (the remove_spans
+    lineage discipline).
+
+    Only segments whose trimmed length ≥ ``min_chars`` are dedup-ELIGIBLE;
+    empty segments are preserved verbatim, so split("\\n") → rejoin is a
+    byte-exact round-trip for untouched documents. Pure Columns end to
+    end (ANSI-expressible — DuckDB parity pinned in tests): one
+    posexplode, one map-side-combinable groupBy(line)→min(struct) for the
+    first-occurrence table, one join back (hot boilerplate lines are a
+    1-row build side — no fan-out), one per-doc reassembly groupBy. The
+    line-keyed exchange is the only corpus-sized shuffle."""
+    lines = F.split(F.col(text_col), sep)
+    ex = docs.select(F.col(id_col).alias("id"),
+                     F.posexplode(lines).alias("idx", "line"))
+    elig = F.length(F.trim(F.col("line"))) >= min_chars
+    firsts = (ex.filter(elig)
+              .groupBy("line")
+              .agg(F.min(F.struct(F.col("id"), F.col("idx")))
+                   .alias("_first")))
+    marked = (ex.join(firsts, "line", "left")
+              .withColumn("_keep",
+                          F.col("_first").isNull() |
+                          (F.struct(F.col("id"), F.col("idx"))
+                           == F.col("_first"))))
+    rebuilt = (marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_keep"),
+                           F.struct("idx", "line")))),
+                lambda s: s.line), sep).alias("_new"),
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("int")).cast("int")
+        .alias("n_removed_lines"),
+        F.sum(F.when(~F.col("_keep"), F.length("line")).otherwise(0))
+        .cast("int").alias("_removed_line_chars")))
+
+    other = [c for c in docs.columns if c not in (id_col, text_col)]
+    out = (docs.withColumnRenamed(text_col, "_orig")
+           .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left"))
+    new_text = F.coalesce(F.col("_new"), F.col("_orig"))
+    return out.select(
+        id_col, *other,
+        new_text.alias(text_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_removed_lines", F.lit(0)).alias("n_removed_lines"),
+        (F.length("_orig") - F.length(new_text)).cast("int")
+        .alias("removed_chars"),
+        (F.coalesce("n_removed_lines", F.lit(0)) > 0).alias("was_rewritten"),
+        F.sha2(new_text, 256).alias("content_sha256"))
+
+
+def decontaminate_bloom(docs: DataFrame, benchmarks: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", n: int = 13,
+                        m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Bloom-gated benchmark decontamination — :func:`decontaminate` for
+    benchmark sets too large to broadcast exactly: the benchmark's
+    distinct n-gram hashes compress into a fixed-size Bloom filter
+    (operators/sketches.bloom_table — m_bits/8 bytes REGARDLESS of
+    benchmark size), which broadcasts to the corpus-side membership
+    probe. Output schema matches :func:`decontaminate` (id, n_grams,
+    hit_grams, contamination_ratio, contaminated).
+
+    One-sided the SAFE way round: a Bloom false positive over-counts a
+    hit (a clean doc may drop — rate ~(1−e^{−k·n/m})^k, tunable via
+    m_bits/k), but a contaminated gram can NEVER test absent, so no eval
+    leak survives the gate. At the default 2^20 bits / k=5 a 10k-gram
+    benchmark runs ≈ 1e-8 FP per gram probe."""
+    from .sketches import bloom_contains, bloom_table
+
+    grams = _gram_hashes(text_col)(n)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.size(grams).alias("n_grams"))
+    bench_sh = _shingles(benchmarks, bench_text_col,
+                         bench_text_col, n).select("shingle").distinct()
+    bloom = bloom_table(bench_sh, ["shingle"], m_bits=m_bits, k=k)
+    probes = _shingles(docs, text_col, id_col, n)
+    # membership is keyed by the SHINGLE alone (the bloom's key); probe
+    # the distinct shingles once, then rejoin to the (id, shingle) stream
+    present_sh = bloom_contains(bloom, probes.select("shingle"),
+                                ["shingle"], m_bits=m_bits, k=k) \
+        .filter("maybe_present").select("shingle")
+    hits = (probes.join(present_sh, "shingle")
+            .groupBy("id").agg(F.count("*").alias("hit_grams")))
+    return (base.join(hits, "id", "left")
+            .select("id", "n_grams",
+                    F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"))
+            .withColumn(
+                "contamination_ratio",
+                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                    F.round(F.col("hit_grams") / F.col("n_grams") + 1e-9, 4)))
+            .withColumn("contaminated", F.col("hit_grams") > 0))

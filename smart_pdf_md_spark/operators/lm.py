@@ -105,3 +105,53 @@ def ppl_buckets(docs: DataFrame, by: str = "lang",
               .withColumn("ppl_bucket", bucket)
               .drop(by))
     return docs.join(labels, id_col)
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.7) -> DataFrame:
+    """→ (doc_id, n_bigrams, avg_logprob) — mean log10 probability of the
+    document's token BIGRAMS under a Jelinek-Mercer-interpolated bigram
+    model of the corpus itself:
+
+        p(w2|w1) = lam · c(w1,w2)/c(w1,·)  +  (1−lam) · p_uni(w2)
+
+    The order-sensitive upgrade of :func:`unigram_logprob`: shuffled or
+    word-salad text scores near its unigram mass, fluent text gains the
+    bigram term — the closer-to-KenLM half of the CCNet signal that the
+    unigram proxy misses. Interpolation with the unigram distribution
+    keeps every probability > 0 (the corpus contains each scored token),
+    so no discounting bookkeeping is needed. Docs with < 2 tokens emit
+    no row (no bigram to score — the sub-token rule).
+
+    Plan shape mirrors unigram_logprob: the exploded bigram stream
+    collapses map-side to per-doc distinct (w1, w2, cnt) rows before its
+    exchange; the corpus bigram table and the w1-context totals aggregate
+    that reduced relation; scoring is two vocabulary-sized equi-joins +
+    one broadcast total — no UDF, ANSI-expressible (DuckDB parity pinned
+    in tests/test_lm_novelty.py)."""
+    toks = tokens_col(F.col(text_col))
+    big = F.expr(
+        f"transform(slice({'_tk'}, 1, size(_tk) - 1), "
+        f"(t, i) -> struct(t as w1, _tk[i + 1] as w2))")
+    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
+                           toks.alias("_tk"))
+               .filter(F.size("_tk") >= 2)
+               .select("doc_id", F.explode(big).alias("b"))
+               .groupBy("doc_id", "b.w1", "b.w2")
+               .agg(F.count("*").alias("cnt")))
+    bi = per_doc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    ctx = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # unigram distribution over the SCORED positions (second tokens),
+    # consistent with the bigram stream so both terms share support
+    uni = per_doc.groupBy("w2").agg(F.sum("cnt").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("total"))
+    p = (F.lit(lam) * F.col("c12") / F.col("c1") +
+         F.lit(1.0 - lam) * F.col("cu") / F.col("total"))
+    return (per_doc
+            .join(bi, ["w1", "w2"]).join(ctx, "w1").join(uni, "w2")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("int").alias("n_bigrams"),
+                 F.round(F.sum(F.col("cnt") * F.log10(p)) / F.sum("cnt")
+                         + 1e-9, 4).alias("avg_logprob")))

@@ -153,3 +153,76 @@ def cms_query(table: DataFrame, keys: DataFrame,
     joined = probes.join(table, ["row", "bucket"], "left") \
         .select(*key_cols, F.coalesce("cnt", F.lit(0)).alias("cnt"))
     return joined.groupBy(*key_cols).agg(F.min("cnt").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch (Bloom, CACM 1970).
+# State = (block, bits) rows: m_bits packed 64 per BIGINT block, only
+# non-zero blocks stored. Merge = groupBy(block) bit_or — idempotent and
+# commutative, so the curate_append/streaming commit discipline applies
+# unchanged (re-merging a batch moves nothing). One-sided like CMS:
+# membership answers are "definitely not present" or "maybe present"
+# (false-positive rate ~ (1 - e^{-k·n/m})^k) — the right direction for
+# decontamination gates, where a false positive over-drops a training doc
+# but a false negative would leak an eval answer.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key_cols: list[str], m_bits: int, k: int):
+    """k bit positions per row via double hashing (Kirsch-Mitzenmacher:
+    pos_i = h1 + i·h2 mod m preserves the asymptotic FP rate). Arithmetic
+    stays in [0, 2m) — no int64 overflow under ANSI mode."""
+    h1 = F.pmod(F.xxhash64(*key_cols, F.lit("bloom1")), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(*key_cols, F.lit("bloom2")), F.lit(m_bits))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + F.pmod(i.cast("bigint") * h2, F.lit(m_bits)),
+                         F.lit(m_bits)))
+
+
+def bloom_table(df: DataFrame, key_cols: list[str] | None = None,
+                m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """→ (block, bits) — Bloom filter of the distinct keys of ``df``.
+    ≤ m_bits/64 rows (16 KiB of longs per 2^20 bits) regardless of key
+    count: the membership gate a 100 TB pipeline can BROADCAST. One
+    explode of k positions + one map-side-combinable bit_or groupBy."""
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    pos = F.explode(_bloom_positions(cols, m_bits, k)).alias("pos")
+    return (df.select(pos)
+            .select((F.col("pos") / 64).cast("bigint").alias("block"),
+                    # shiftleft's AMOUNT must be an expression, which the
+                    # pyspark function wrapper rejects as a Column
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 64 AS INT))").alias("mask"))
+            .groupBy("block").agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Union of the underlying sets: cell-wise OR of the block tables."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("block").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame,
+                   key_cols: list[str] | None = None,
+                   m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """→ probes + ``maybe_present`` — one-sided membership: False is
+    certain, True has the Bloom FP rate. ``m_bits``/``k`` MUST match the
+    builder's. The probe side explodes k positions and joins the (tiny,
+    broadcast) block table; per-probe presence = all k bits set."""
+    cols = key_cols or probes.columns
+    keyed = probes.select(*cols).distinct().withColumn(
+        "_pos", F.explode(_bloom_positions([F.col(c) for c in cols],
+                                           m_bits, k)))
+    hit = (keyed
+           .withColumn("block", (F.col("_pos") / 64).cast("bigint"))
+           .withColumn("mask", F.expr(
+               "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"))
+           .join(F.broadcast(bloom), "block", "left")
+           .withColumn("_set",
+                       (F.coalesce(F.col("bits"), F.lit(0))
+                        .bitwiseAND(F.col("mask")) != 0).cast("int")))
+    return (hit.groupBy(*cols)
+            .agg((F.sum("_set") == k).alias("maybe_present")))

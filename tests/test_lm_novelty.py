@@ -221,3 +221,58 @@ def test_ngram_novelty_plan_is_linear(spark):
         D.ngram_novelty(docs).explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bigram_logprob_order_sensitivity_and_duckdb_parity(spark):
+    """The interpolated bigram LM ranks fluent (corpus-typical bigram)
+    text above its own word salad — the signal unigram_logprob cannot
+    see (identical token multiset) — and matches a DuckDB recomputation
+    of the Jelinek-Mercer formula bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.lm import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    salad = "dog the over quick lazy jumps fox brown the"  # same multiset
+    rows = [(i, fluent) for i in range(6)]
+    rows.append((100, salad))
+    rows.append((101, "one"))        # sub-2-token → no row
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(docs_pd)
+
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert 101 not in got
+    assert got[0].avg_logprob > got[100].avg_logprob     # order matters
+    uni = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert uni[0].avg_logprob == uni[100].avg_logprob    # blind to order
+
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    want = con.execute(r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      FROM docs
+    ), per_doc AS (
+      SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM tk, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2)
+      GROUP BY doc_id, w1, w2
+    ), bi AS (SELECT w1, w2, sum(cnt) AS c12 FROM per_doc GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+    uni AS (SELECT w2, sum(cnt) AS cu FROM per_doc GROUP BY w2),
+    tot AS (SELECT sum(cu) AS total FROM uni)
+    SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+           round(sum(cnt * log10(0.7 * c12 / c1 + 0.3 * cu / total))
+                 / sum(cnt) + 1e-9, 4) AS avg_logprob
+    FROM per_doc JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+         JOIN uni USING (w2) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    got_pd = bigram_logprob(docs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_pd, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)

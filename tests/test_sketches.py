@@ -126,3 +126,64 @@ def test_hll_estimate_validates_p_and_handles_dense_tables(spark, stream):
     assert abs(est_dense - est_sparse) < 1e-6
     exact = stream.distinct().count()
     assert abs(est_dense - exact) / exact < 0.05
+
+
+def test_bloom_no_false_negatives_and_merge_is_whole(spark):
+    """Bloom membership is one-sided: every inserted key tests
+    maybe_present (NO false negatives, the property the decontamination
+    gate rests on); the FP rate on absent keys stays near theory; and
+    merging split-built filters is bitwise identical to building whole."""
+    from smart_pdf_md_spark.operators.sketches import (
+        bloom_contains,
+        bloom_merge,
+        bloom_table,
+    )
+
+    n, m_bits, k = 2000, 1 << 16, 5
+    keys = spark.range(n).selectExpr("concat('key', id) AS key")
+    bloom = bloom_table(keys, ["key"], m_bits=m_bits, k=k)
+    assert bloom.count() <= m_bits // 64
+
+    present = bloom_contains(bloom, keys, ["key"], m_bits=m_bits, k=k)
+    assert present.filter("NOT maybe_present").count() == 0   # one-sided
+
+    absent = spark.range(n).selectExpr("concat('other', id) AS key")
+    fp = bloom_contains(bloom, absent, ["key"],
+                        m_bits=m_bits, k=k).filter("maybe_present").count()
+    # theory at n=2000, m=65536, k=5: (1-e^{-kn/m})^5 ~ 5e-4 → expect ~1
+    assert fp <= 25
+
+    half_a = keys.filter("key < 'key5'")       # lexicographic split
+    half_b = keys.subtract(half_a)
+    merged = bloom_merge(bloom_table(half_a, ["key"], m_bits=m_bits, k=k),
+                         bloom_table(half_b, ["key"], m_bits=m_bits, k=k))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, bloom.collect()))
+
+
+def test_decontaminate_bloom_matches_exact_gate(spark):
+    """The Bloom-gated decontamination flags every doc the exact
+    broadcast gate flags (no false negatives by construction) and, at
+    default sizing, the same clean set on a small corpus."""
+    from smart_pdf_md_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench_sent = " ".join(f"ev{i}al{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, "clean doc " + " ".join(f"w{i}" for i in range(20))),
+         (2, "leaky prefix " + bench_sent + " leaky suffix"),
+         (3, "short")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1, "intro " + bench_sent + " outro")], ["bench_id", "text"])
+
+    exact = {r.id: r for r in decontaminate(docs, bench).collect()}
+    bloom = {r.id: r for r in decontaminate_bloom(docs, bench).collect()}
+    assert set(exact) == set(bloom)
+    for i in exact:
+        assert exact[i].contaminated == bloom[i].contaminated, i
+        assert exact[i].n_grams == bloom[i].n_grams, i
+    assert bloom[2].contaminated and not bloom[1].contaminated
+    assert bloom[3].n_grams == 0 and not bloom[3].contaminated

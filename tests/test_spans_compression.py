@@ -207,3 +207,65 @@ def test_remove_spans_then_coverage_is_zero(spark):
     # the a-side kept its copy verbatim
     a_text = cleaned.filter("doc_id = 1").collect()[0].text
     assert shared in a_text and a_text == ta
+
+
+def test_dedup_paragraphs_first_occurrence_and_duckdb_parity(spark):
+    """CCNet line-level dedup: a line duplicated across docs keeps its
+    min-(doc_id, idx) occurrence only; empty lines are preserved verbatim
+    (split/rejoin is byte-exact for untouched docs); lineage recomputed.
+    Full DuckDB parity on the rewrite (board-candidate SQL shape)."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, "first doc opening line\n" + boiler + "\nfirst doc closing"),
+        (2, boiler + "\nsecond doc body text here"),
+        (3, "third doc only original\n\nwith an empty line kept"),
+        (4, boiler),                   # whole doc = the duplicated line
+        (5, ""),
+    ]
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(docs_pd)
+
+    got = {r.doc_id: r for r in D.dedup_paragraphs(docs).collect()}
+    assert got[1].text == rows[0][1]               # first occurrence kept
+    assert not got[1].was_rewritten
+    assert got[2].text == "second doc body text here"
+    assert got[2].n_removed_lines == 1
+    assert got[2].removed_chars == len(boiler) + 1  # line + its separator
+    assert got[3].text == rows[2][1]               # empty line preserved
+    assert got[4].text == "" and got[4].n_removed_lines == 1
+    assert got[5].text == "" and not got[5].was_rewritten
+    for r in got.values():
+        assert r.content_sha256 == hashlib.sha256(
+            r.text.encode("utf-8")).hexdigest()
+
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    want = con.execute(r"""
+    WITH ex AS (
+      SELECT doc_id, i - 1 AS idx, parts[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs),
+           UNNEST(range(1, len(parts) + 1)) AS u(i)
+    ), marked AS (
+      SELECT doc_id, idx, line,
+             CASE WHEN length(trim(line)) < 1 THEN TRUE
+                  WHEN row_number() OVER (PARTITION BY line
+                       ORDER BY doc_id, idx) = 1 THEN TRUE
+                  ELSE FALSE END AS keep
+      FROM ex
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY idx), '') AS text,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT)
+             AS n_removed_lines
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    got_pd = (D.dedup_paragraphs(docs)
+              .select("doc_id", "text", "n_lines", "n_removed_lines")
+              .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_pd, want, check_dtype=False)
