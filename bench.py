@@ -57,6 +57,12 @@ HEADLINE = [
     "unigram_logprob",
     "ngram_novelty",
     "cap_per_group",
+    # r8 board additions (f1_json_extract / a2_first_error / j5_semi_join
+    # rotated off the board; their cost classes are covered by the text_*
+    # rows, a1_run_summary, and j5b_salted_agg)
+    "oov_rate",
+    "span_coverage",
+    "tfidf_keywords",
 ]
 
 

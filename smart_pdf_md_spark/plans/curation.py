@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     decontaminate,
+    decontaminate_bloom,
     dedup_clusters,
+    dedup_paragraphs,
     duplicate_spans,
     exact_dup_pairs,
     minhash_dedup_pairs,
@@ -68,6 +70,8 @@ def run_curation(
     ppl_by: str = "lang",
     benchmarks: DataFrame | None = None,
     decontam_n: int = 13,
+    decontam_via: str = "exact",
+    dedup_lines: bool = False,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_temperature: float = 1.0,
@@ -135,11 +139,22 @@ def run_curation(
       (≥ ``span_min_len`` chars) → either DROP docs whose duplicated-char
       fraction exceeds the threshold, or REWRITE the b-sides with
       remove_spans (``remove_dup_spans=True`` — lineage column
-      content_sha256 recomputed; span_chars_removed lands in summary)."""
+      content_sha256 recomputed; span_chars_removed lands in summary).
+
+    Two more r8 stage knobs: ``dedup_lines=True`` inserts the CCNet
+    corpus-wide line-dedup stage (dedup_paragraphs) between scrub and
+    filter — boilerplate lines excised BEFORE quality scoring, exactly
+    CCNet's ordering, with lines_removed in the summary;
+    ``decontam_via="bloom"`` swaps the decontamination gate's exact
+    broadcast shingle set for the fixed-size Bloom filter
+    (decontaminate_bloom — one-sided the safe way round, for benchmark
+    sets too large to broadcast exactly)."""
     if (dsir_target is None) != (dsir_keep is None):
         raise ValueError("dsir_target and dsir_keep must be supplied together")
     if (semdedup_eps is not None) and embeddings is None:
         raise ValueError("semdedup_eps requires an embeddings frame")
+    if decontam_via not in ("exact", "bloom"):
+        raise ValueError(f"unknown decontam_via: {decontam_via!r}")
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -173,6 +188,22 @@ def run_curation(
                 else None})
     _note("scrubbed")
 
+    filter_input, filter_dep = scrubbed, "scrubbed"
+    lines_stage = None
+    if dedup_lines:
+        # CCNet ordering: corpus-wide boilerplate-line excision BEFORE
+        # quality scoring, so a doc isn't judged on lines that won't ship
+        def build_lines() -> DataFrame:
+            return dedup_paragraphs(scrubbed).drop(
+                "n_lines", "removed_chars", "was_rewritten",
+                "content_sha256")
+
+        lines_stage, resumed["lines"] = run_stage(
+            spark, run_dir, "lines", build_lines, ["doc_id"],
+            deps=["scrubbed"], params={"dedup_lines": True})
+        _note("lines")
+        filter_input, filter_dep = lines_stage, "lines"
+
     def build_filtered() -> DataFrame:
         # all three score families are scan-side Column exprs over the SAME
         # rows → ONE select, zero shuffle (joining the per-family
@@ -186,7 +217,7 @@ def run_curation(
         }
         if max_compression_ratio is not None:
             score_exprs["compression_ratio"] = compression_ratio_col(text)
-        scored = scrubbed.select(
+        scored = filter_input.select(
             "*", *[v.alias(k) for k, v in score_exprs.items()])
         # n_tokens >= 1: an empty/whitespace doc scores quality exactly 0.3
         # (the punct term alone) and would pass the 0.3 default into the
@@ -209,7 +240,7 @@ def run_curation(
 
     filtered, resumed["filtered"] = run_stage(
         spark, run_dir, "filtered", build_filtered, ["doc_id"],
-        deps=["scrubbed"],
+        deps=[filter_dep],
         params={"quality_min": quality_min, "dup_line_max": dup_line_max,
                 "dup_ngram_max": dup_ngram_max, "fractions": fractions,
                 "max_compression_ratio": max_compression_ratio,
@@ -221,7 +252,9 @@ def run_curation(
     upstream, upstream_name = filtered, "filtered"
     if benchmarks is not None:
         def build_clean() -> DataFrame:
-            dec = decontaminate(upstream, benchmarks, n=decontam_n)
+            gate = decontaminate_bloom if decontam_via == "bloom" \
+                else decontaminate
+            dec = gate(upstream, benchmarks, n=decontam_n)
             keep_ids = dec.filter(~F.col("contaminated")) \
                 .select(F.col("id").alias("doc_id"))
             return upstream.join(keep_ids, "doc_id", "left_semi")
@@ -238,7 +271,7 @@ def run_curation(
         clean, resumed["clean"] = run_stage(
             spark, run_dir, "clean", build_clean, ["doc_id"],
             deps=["filtered"],
-            params={"decontam_n": decontam_n,
+            params={"decontam_n": decontam_n, "via": decontam_via,
                     "bench_fp": f"{fp.n}:{fp.h}"})
         _note("clean")
         upstream, upstream_name = clean, "clean"
@@ -408,6 +441,10 @@ def run_curation(
     if lm_stage is not None:
         summary["after_lm"] = lm_stage.count()
         out["lm"] = lm_stage
+    if lines_stage is not None:
+        summary["lines_removed"] = int(lines_stage.agg(
+            F.coalesce(F.sum("n_removed_lines"), F.lit(0))).collect()[0][0])
+        out["lines"] = lines_stage
     if dsir_stage is not None:
         summary["after_dsir"] = dsir_stage.count()
         out["dsir"] = dsir_stage

@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] Gopher duplicate-3-gram cut; pass a "
                          "value >= 1 to disable")
     ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--dedup-lines", action="store_true",
+                    help="[curate] CCNet corpus-wide line dedup before "
+                         "quality scoring")
+    ap.add_argument("--decontam-via", choices=("exact", "bloom"),
+                    default="exact",
+                    help="[curate] decontamination gate: exact broadcast "
+                         "shingle set, or a fixed-size Bloom filter for "
+                         "benchmark sets too large to broadcast")
     ap.add_argument("--dsir-target", help="[curate] target-corpus parquet "
                                           "(doc_id, text); with "
                                           "--dsir-keep enables the DSIR "
@@ -259,6 +267,7 @@ def _run_curate(args) -> int:
             quality_min=args.quality_min, dup_line_max=args.dup_line_max,
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
             benchmarks=bench,
+            decontam_via=args.decontam_via, dedup_lines=args.dedup_lines,
             dsir_target=dsir_target, dsir_keep=args.dsir_keep,
             embeddings=embeddings, semdedup_eps=args.semdedup_eps,
             max_dup_span_fraction=args.max_dup_span_fraction,

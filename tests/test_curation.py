@@ -535,3 +535,55 @@ def test_curation_span_stage_drop_and_remove(spark, tmp_path):
                         max_dup_span_fraction=0.5)
     assert res4["resumed"]["spans"] is False
     assert res4["summary"]["after_spans"] == 2
+
+
+def test_curation_line_dedup_and_bloom_decontam_stages(spark, tmp_path):
+    """dedup_lines: boilerplate lines excised corpus-wide BEFORE quality
+    scoring (CCNet ordering) with lines_removed accounting; the knob flip
+    rebuilds filtered downstream. decontam_via='bloom' drops exactly the
+    planted eval-leak doc like the exact gate, and flipping the gate
+    rebuilds the clean stage."""
+    boiler = "click here to accept all cookies and continue reading now"
+    good = ("the story of it is on a hill and for the day it was a good "
+            "one in the end with several more words to pass the filter")
+    rows = [(1, good + "\n" + boiler),
+            (2, boiler + "\n" + good + " second variant body"),
+            (3, good + " third variant body entirely")]
+    bench_sent = " ".join(f"qx{i} wy{i}" for i in range(7))[:200]
+    rows.append((4, good + " " + bench_sent + " trailing words here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .withColumn("lang", F.lit("en"))
+    bench = spark.createDataFrame([(1, "intro " + bench_sent + " outro")],
+                                  ["bench_id", "text"])
+
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01, dedup_lines=True,
+                       benchmarks=bench, decontam_via="bloom")
+    # the boiler line survives in doc 1 only (first occurrence)
+    lines = {r.doc_id: r.text for r in res["lines"].collect()}
+    assert boiler in lines[1] and boiler not in lines[2]
+    assert res["summary"]["lines_removed"] == 1
+    # bloom gate drops exactly the planted leak
+    clean_ids = {r.doc_id for r in res["clean"].select("doc_id").collect()}
+    assert 4 not in clean_ids and {1, 2, 3} <= clean_ids
+
+    # unchanged knobs resume everything
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01, dedup_lines=True,
+                        benchmarks=bench, decontam_via="bloom")
+    assert res2["resumed"]["lines"] and res2["resumed"]["clean"]
+
+    # gate flip rebuilds clean; line-knob flip rebuilds filtered
+    res3 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01, dedup_lines=True,
+                        benchmarks=bench, decontam_via="exact")
+    assert res3["resumed"]["clean"] is False
+    assert {r.doc_id for r in res3["clean"].select("doc_id").collect()} \
+        == clean_ids
+    res4 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01, benchmarks=bench)
+    assert res4["resumed"]["filtered"] is False   # dep chain moved
+
+    with pytest.raises(ValueError, match="decontam_via"):
+        run_curation(spark, docs, run_dir, decontam_via="nope")
