@@ -1,0 +1,142 @@
+"""Quality classifier — the GPT-3/PaLM data-curation recipe (Brown et
+al. 2020 appendix A; Chowdhery et al. 2022): train a logistic-regression
+classifier to distinguish a high-quality TARGET corpus from the raw pool
+over hashed n-gram features, then keep raw documents the classifier
+scores as target-like. The trainable complement of DSIR's closed-form
+importance ratio (operators/importance.py) — same feature space, same
+deterministic hashing, but a discriminative decision boundary.
+
+Spark-first shape (the ivf_train discipline — model state is
+driver-sized, data never is):
+
+- features reuse importance.dsir_features: hashed unigram+bigram counts,
+  scan-side Columns, one map-side-combinable groupBy — the corpus is
+  touched once per training run and once per scoring run;
+- training is FULL-BATCH gradient descent: per iteration, ONE
+  distributed pass computes the gradient (a broadcast join of the
+  n_buckets-bounded weight table onto the (doc, bucket, cnt) relation,
+  a per-doc margin agg, and a per-bucket error agg); the weight vector
+  (n_buckets floats — KB-to-MB, the codebook-size rule) updates on the
+  driver in numpy and rebroadcasts. No per-row Python anywhere;
+- full-batch + fixed iterations + fixed init ⇒ the learned weights are
+  a pure function of the two corpora (modulo float reassociation in the
+  distributed sums — pinned with tolerances, like ivf_train).
+
+Features are log-scaled (ln(1+cnt)) and per-doc L2-normalized so
+document length does not dominate the margin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .importance import dsir_features
+
+N_BUCKETS = 1 << 14
+
+
+def _norm_features(docs: DataFrame, n_buckets: int,
+                   text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, bucket, x) — log-scaled, per-doc L2-normalized hashed
+    features. Empty docs emit no row (nothing to classify)."""
+    f = dsir_features(docs, n_buckets, text_col, id_col) \
+        .withColumn("_v", F.log1p("cnt"))
+    nrm = f.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n"))
+    return (f.join(nrm, "doc_id")
+            .select("doc_id", "bucket",
+                    (F.col("_v") / F.col("_n")).alias("x")))
+
+
+def train_quality_classifier(target: DataFrame, raw: DataFrame,
+                             n_buckets: int = N_BUCKETS,
+                             iters: int = 40, lr: float = 2.0,
+                             l2: float = 1e-4,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> dict:
+    """Train the target-vs-raw logistic regression; returns
+    {"weights": DataFrame(bucket, w), "bias": float, "n_buckets": int}
+    — the model artifact :func:`quality_classifier_score` consumes.
+
+    Labels: target = 1, raw = 0. Classes are weighted inversely to size
+    (the target corpus is small by definition; without reweighting the
+    optimum is "predict raw"). The feature relation is materialized once
+    (localCheckpoint) and every iteration reads it — iterations never
+    re-touch document text."""
+    feats = (_norm_features(target, n_buckets, text_col, id_col)
+             .withColumn("y", F.lit(1.0))
+             .unionByName(
+                 _norm_features(raw, n_buckets, text_col, id_col)
+                 .withColumn("y", F.lit(0.0)))
+             # one id space: labels ride every row, ids may collide
+             .withColumn("_k", F.concat(F.col("y").cast("string"),
+                                        F.lit(":"),
+                                        F.col("doc_id").cast("string")))
+             .localCheckpoint(eager=True))
+    counts = feats.groupBy("y").agg(
+        F.count_distinct("_k").alias("n")).collect()
+    n_by_y = {int(r["y"]): r["n"] for r in counts}
+    n_pos, n_neg = n_by_y.get(1, 0), n_by_y.get(0, 0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("both corpora must contain at least one "
+                         "non-empty document")
+    # inverse-frequency class weights, mean 1 across examples
+    w_pos = (n_pos + n_neg) / (2.0 * n_pos)
+    w_neg = (n_pos + n_neg) / (2.0 * n_neg)
+
+    spark = feats.sparkSession
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    n_total = n_pos + n_neg
+    for _ in range(iters):
+        wt = spark.createDataFrame(
+            [(int(b), float(w[b])) for b in np.nonzero(w)[0]],
+            "bucket int, w double")
+        margin = (feats.join(F.broadcast(wt), "bucket", "left")
+                  .groupBy("_k", "y")
+                  .agg(F.sum(F.col("x") *
+                             F.coalesce(F.col("w"), F.lit(0.0)))
+                       .alias("m")))
+        err = margin.select(
+            "_k", "y",
+            ((F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("m") + bias)))
+              - F.col("y")) *
+             F.when(F.col("y") == 1.0, w_pos).otherwise(w_neg))
+            .alias("e"))
+        grad_rows = (feats.join(err.select("_k", "e"), "_k")
+                     .groupBy("bucket")
+                     .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
+                     .collect())
+        g = np.zeros(n_buckets, dtype=np.float64)
+        for r in grad_rows:
+            g[r["bucket"]] = r["g"]
+        gb = err.agg(F.sum("e")).collect()[0][0]
+        w -= lr * (g / n_total + l2 * w)
+        bias -= lr * (gb / n_total)
+    weights = spark.createDataFrame(
+        [(int(b), float(w[b])) for b in np.nonzero(w)[0]],
+        "bucket int, w double")
+    return {"weights": weights.localCheckpoint(eager=True),
+            "bias": float(bias), "n_buckets": n_buckets}
+
+
+def quality_classifier_score(docs: DataFrame, model: dict,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, margin, prob) — classifier score per document under a
+    trained model; prob = sigmoid(margin) is the target-likeness the
+    GPT-3 recipe thresholds (or pareto-samples) on. One feature pass +
+    one broadcast join; docs with no features emit no row."""
+    feats = _norm_features(docs, model["n_buckets"], text_col, id_col)
+    bias = model["bias"]
+    return (feats.join(F.broadcast(model["weights"]), "bucket", "left")
+            .groupBy("doc_id")
+            .agg((F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+                  + bias).alias("_m"))
+            .select(F.col("doc_id"),
+                    F.round(F.col("_m") + 1e-9, 6).alias("margin"),
+                    F.round(F.lit(1.0) /
+                            (F.lit(1.0) + F.exp(-F.col("_m"))) + 1e-9, 6)
+                    .alias("prob")))
