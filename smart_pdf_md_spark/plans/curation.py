@@ -37,6 +37,10 @@ from ..operators.dedup import (
     remove_spans,
     span_coverage,
 )
+from ..operators.classifier import (
+    quality_classifier_score,
+    train_quality_classifier,
+)
 from ..operators.importance import dsir_logratio, dsir_resample
 from ..operators.lm import ppl_buckets
 from ..operators.similarity import semdedup
@@ -72,6 +76,9 @@ def run_curation(
     decontam_n: int = 13,
     decontam_via: str = "exact",
     dedup_lines: bool = False,
+    classifier_target: DataFrame | None = None,
+    classifier_min_prob: float | None = None,
+    classifier_iters: int = 40,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_temperature: float = 1.0,
@@ -141,6 +148,14 @@ def run_curation(
       remove_spans (``remove_dup_spans=True`` — lineage column
       content_sha256 recomputed; span_chars_removed lands in summary).
 
+    ``classifier_target`` + ``classifier_min_prob`` enable the GPT-3
+    quality-classifier stage (Brown et al. 2020 appendix A —
+    operators/classifier.py) between decontamination and the lm stage:
+    a logistic regression is trained per run to distinguish the target
+    corpus from THIS pool's survivors, and docs scoring below the
+    probability floor drop (audit column ``prob`` committed). The params
+    digest covers the target content, iteration count, and floor.
+
     Two more r8 stage knobs: ``dedup_lines=True`` inserts the CCNet
     corpus-wide line-dedup stage (dedup_paragraphs) between scrub and
     filter — boilerplate lines excised BEFORE quality scoring, exactly
@@ -151,6 +166,9 @@ def run_curation(
     sets too large to broadcast exactly)."""
     if (dsir_target is None) != (dsir_keep is None):
         raise ValueError("dsir_target and dsir_keep must be supplied together")
+    if (classifier_target is None) != (classifier_min_prob is None):
+        raise ValueError("classifier_target and classifier_min_prob must "
+                         "be supplied together")
     if (semdedup_eps is not None) and embeddings is None:
         raise ValueError("semdedup_eps requires an embeddings frame")
     if decontam_via not in ("exact", "bloom"):
@@ -275,6 +293,33 @@ def run_curation(
                     "bench_fp": f"{fp.n}:{fp.h}"})
         _note("clean")
         upstream, upstream_name = clean, "clean"
+
+    clf_stage = None
+    if classifier_min_prob is not None:
+        c_upstream = upstream  # bind, not close over the mutating name
+
+        def build_clf() -> DataFrame:
+            # train target-vs-THIS-POOL each run: the negative class is
+            # the surviving corpus itself (the GPT-3 recipe's raw side)
+            model = train_quality_classifier(
+                classifier_target, c_upstream, iters=classifier_iters)
+            scored = quality_classifier_score(c_upstream, model)
+            return (c_upstream.join(
+                scored.select("doc_id", "prob"), "doc_id")
+                .filter(F.col("prob") >= classifier_min_prob))
+
+        cfp = classifier_target.select(
+            F.xxhash64(*[F.col(c) for c in classifier_target.columns])
+            .alias("h"))             .agg(F.count("*").alias("n"),
+                 F.expr("bit_xor(h)").alias("h")).collect()[0]
+        clf_stage, resumed["classifier"] = run_stage(
+            spark, run_dir, "classifier", build_clf, ["doc_id"],
+            deps=[upstream_name],
+            params={"min_prob": classifier_min_prob,
+                    "iters": classifier_iters,
+                    "target_fp": f"{cfp.n}:{cfp.h}"})
+        _note("classifier")
+        upstream, upstream_name = clf_stage, "classifier"
 
     lm_stage = None
     if ppl_keep is not None:
@@ -445,6 +490,9 @@ def run_curation(
         summary["lines_removed"] = int(lines_stage.agg(
             F.coalesce(F.sum("n_removed_lines"), F.lit(0))).collect()[0][0])
         out["lines"] = lines_stage
+    if clf_stage is not None:
+        summary["after_classifier"] = clf_stage.count()
+        out["classifier"] = clf_stage
     if dsir_stage is not None:
         summary["after_dsir"] = dsir_stage.count()
         out["dsir"] = dsir_stage

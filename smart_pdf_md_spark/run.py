@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] decontamination gate: exact broadcast "
                          "shingle set, or a fixed-size Bloom filter for "
                          "benchmark sets too large to broadcast")
+    ap.add_argument("--classifier-target",
+                    help="[curate] target-corpus parquet (doc_id, text); "
+                         "with --classifier-min-prob enables the GPT-3 "
+                         "quality-classifier stage")
+    ap.add_argument("--classifier-min-prob", type=float,
+                    help="[curate] drop docs the trained classifier "
+                         "scores below this target-likeness probability")
     ap.add_argument("--dsir-target", help="[curate] target-corpus parquet "
                                           "(doc_id, text); with "
                                           "--dsir-keep enables the DSIR "
@@ -268,6 +275,9 @@ def _run_curate(args) -> int:
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
             benchmarks=bench,
             decontam_via=args.decontam_via, dedup_lines=args.dedup_lines,
+            classifier_target=(spark.read.parquet(args.classifier_target)
+                               if args.classifier_target else None),
+            classifier_min_prob=args.classifier_min_prob,
             dsir_target=dsir_target, dsir_keep=args.dsir_keep,
             embeddings=embeddings, semdedup_eps=args.semdedup_eps,
             max_dup_span_fraction=args.max_dup_span_fraction,

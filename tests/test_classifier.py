@@ -94,3 +94,52 @@ def test_quality_classifier_numpy_parity_and_invariance(spark):
     for r in model8["weights"].collect():
         got8[r.bucket] = r.w
     assert np.allclose(got8, got_w, atol=1e-9)
+
+
+def test_curation_classifier_stage(spark, tmp_path):
+    """classifier_target + classifier_min_prob: the committed stage drops
+    pool docs the trained classifier scores below the floor, keeps the
+    prob audit column, resumes with unchanged params, and rebuilds when
+    the floor moves."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    good = ("the story of it is on a hill and for the day it was a good "
+            "one in the end with several additional words to pass")
+    rows = [(i, good + " curated encyclopedia article explains "
+             f"concept{i} clearly and well", "en") for i in range(5)]
+    rows += [(100 + i, good + " click here buy now " +
+              " ".join(f"spamword{j} offer{j}" for j in range(6)), "en")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    target = spark.createDataFrame(
+        [(900 + i, good + " curated encyclopedia article explains "
+          f"concept{i} clearly and well") for i in range(4)],
+        ["doc_id", "text"])
+
+    run_dir = str(tmp_path / "cur")
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01,
+                       classifier_target=target, classifier_min_prob=0.5,
+                       classifier_iters=25)
+    ids = {r.doc_id for r in res["classifier"].select("doc_id").collect()}
+    assert ids == set(range(5))               # spam pool drops
+    assert "prob" in res["classifier"].columns
+    assert res["summary"]["after_classifier"] == 5
+    kept = {r.doc_id for r in res["kept"].select("doc_id").collect()}
+    assert kept <= set(range(5))
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        classifier_target=target, classifier_min_prob=0.5,
+                        classifier_iters=25)
+    assert res2["resumed"]["classifier"] is True
+
+    res3 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01,
+                        classifier_target=target,
+                        classifier_min_prob=0.01, classifier_iters=25)
+    assert res3["resumed"]["classifier"] is False   # floor moved
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="classifier_target"):
+        run_curation(spark, docs, run_dir, classifier_min_prob=0.5)
