@@ -286,3 +286,42 @@ def oov_rate(docs: DataFrame, vocab: DataFrame,
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens")
                                 + 1e-9, 4)))
+
+
+def tokenizer_fertility(docs: DataFrame, encoded_vocab: DataFrame,
+                        by: str = "lang", text_col: str = "text",
+                        lowercase: bool = True) -> DataFrame:
+    """→ (by, n_words, n_bpe_tokens, n_oov_words, tokens_per_word,
+    chars_per_token, oov_rate) — per-stratum tokenizer FERTILITY audit:
+    how many subword tokens the learned vocabulary spends per word and
+    how many characters each token carries, per language/domain. The
+    fairness check a multilingual pipeline runs before committing to a
+    tokenizer (cf. Petrov et al. 2023, "Language Model Tokenizers
+    Introduce Unfairness Between Languages": under-served languages pay
+    more tokens for the same content, which costs context window and
+    training compute). OOV words cost their zero-merge worst case
+    (len+1), counted separately — the bpe_token_count convention.
+
+    One explode + one vocab join + one map-side-combinable groupBy; all
+    ratios rounded with the repo's +1e-9 epsilon."""
+    toks = tokens_col(F.col(text_col))
+    stream = docs.select(F.col(by), F.explode(toks).alias("word"))
+    if lowercase:
+        stream = stream.select(by, F.lower("word").alias("word"))
+    joined = stream.join(encoded_vocab.select("word", "n_bpe"),
+                         "word", "left")
+    cost = F.coalesce(F.col("n_bpe"), F.length("word") + 1)
+    agg = (joined.groupBy(by)
+           .agg(F.count("*").cast("long").alias("n_words"),
+                F.sum(cost).cast("long").alias("n_bpe_tokens"),
+                F.sum(F.col("n_bpe").isNull().cast("int")).cast("long")
+                .alias("n_oov_words"),
+                F.sum(F.length("word")).cast("long").alias("_chars")))
+    return agg.select(
+        by, "n_words", "n_bpe_tokens", "n_oov_words",
+        F.round(F.col("n_bpe_tokens") / F.col("n_words") + 1e-9, 4)
+        .alias("tokens_per_word"),
+        F.round(F.col("_chars") / F.col("n_bpe_tokens") + 1e-9, 4)
+        .alias("chars_per_token"),
+        F.round(F.col("n_oov_words") / F.col("n_words") + 1e-9, 4)
+        .alias("oov_rate"))

@@ -600,3 +600,38 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         F.when(F.col("n_bytes") == 0, F.lit(0.0))
         .otherwise(F.round(F.col("n_bytes") / F.col("n_compressed")
                            + 1e-9, 4)))
+
+
+def train_val_split(docs: DataFrame, clusters: DataFrame | None = None,
+                    val_frac: float = 0.1, id_col: str = "doc_id",
+                    salt: str = "split_v1") -> DataFrame:
+    """Deterministic, LEAKAGE-SAFE train/validation split: the split key
+    is the document's near-dup CLUSTER keeper (``clusters`` =
+    dedup_clusters output with (id, keeper_id)), so near-duplicates can
+    never straddle the boundary — the classic eval contamination where a
+    paraphrase of a validation doc sits in train. Docs in no cluster key
+    on themselves. Without ``clusters`` it degrades to a plain id-hash
+    split (still deterministic, not leakage-safe).
+
+    The decision is a pure function of (key, salt) — the
+    stratified_sample contract: stable across runs, partitionings,
+    resumes, and cluster sizes; distinct salts decorrelate successive
+    splits. Adds a ``split`` column ('train' | 'val'). One broadcast-or-
+    shuffle join when clusters are supplied; scan-side otherwise."""
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError("val_frac must be in [0, 1]")
+    if clusters is not None:
+        keyed = docs.join(
+            clusters.select(F.col("id").alias(id_col), "keeper_id"),
+            id_col, "left")
+        key = F.coalesce(F.col("keeper_id").cast("string"),
+                         F.col(id_col).cast("string"))
+    else:
+        keyed = docs
+        key = F.col(id_col).cast("string")
+    bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(1_000_000))
+    out = keyed.withColumn(
+        "split",
+        F.when(bucket < int(val_frac * 1_000_000), F.lit("val"))
+        .otherwise(F.lit("train")))
+    return out.drop("keeper_id") if clusters is not None else out

@@ -242,3 +242,28 @@ def test_pack_sequences_with_real_bpe_budgets(spark):
     again = pack_sequences(budgeted.repartition(7), budget_tokens=budget,
                            len_col="n_bpe_tokens")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_tokenizer_fertility_per_stratum(spark):
+    """Fertility audit: a stratum the vocabulary was trained on pays
+    fewer tokens per word than an unseen-script stratum, whose words
+    fall back to the counted OOV per-char cost."""
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low lower newest newest")],
+        ["doc_id", "text"])
+    wf = B.word_freq_table(train)
+    enc = B.bpe_encode_table(wf, B.bpe_train(wf, n_merges=12))
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest", "en"),
+         (2, "zqxw vbnm kjhg", "xx")],      # fully OOV stratum
+        ["doc_id", "text", "lang"])
+    got = {r.lang: r for r in B.tokenizer_fertility(docs, enc).collect()}
+    n = {r.word: r.n_bpe for r in enc.collect()}
+    assert got["en"].n_words == 3 and got["en"].n_oov_words == 0
+    assert got["en"].n_bpe_tokens == n["low"] + n["lower"] + n["newest"]
+    assert got["xx"].n_oov_words == 3
+    assert got["xx"].n_bpe_tokens == sum(len(w) + 1
+                                         for w in ("zqxw", "vbnm", "kjhg"))
+    assert got["xx"].tokens_per_word > got["en"].tokens_per_word
+    assert got["xx"].oov_rate == 1.0 and got["en"].oov_rate == 0.0

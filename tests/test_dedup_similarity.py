@@ -1134,3 +1134,45 @@ def test_semdedup_preserves_ids_above_float53(spark):
     assert out[dropped].keeper_id == keeper    # exact, not float-rounded
     assert out[keeper].keeper_id == keeper
     assert out[7].keeper_id == 7
+
+
+def test_train_val_split_is_leakage_safe_and_deterministic(spark):
+    """Near-dup cluster members never straddle the train/val boundary
+    (split key = cluster keeper); the split is a pure function of
+    (key, salt) — identical at any partitioning; the val fraction tracks
+    the knob on unclustered docs."""
+    from smart_pdf_md_spark.operators import dedup as DD
+    from smart_pdf_md_spark.operators.textstats import train_val_split
+
+    body = "the shared near duplicate body of text " * 3
+    rows = [(i, body + f" tail{i % 4}") for i in range(20)]        # 4 clusters
+    rows += [(100 + i, f"solo doc {i} " + " ".join(
+        f"u{i}w{j}" for j in range(10))) for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = DD.dedup_clusters(pairs, docs)
+    out = train_val_split(docs, clusters, val_frac=0.2)
+
+    side = {r.doc_id: r.split for r in out.collect()}
+    # every member of a near-dup cluster lands on ONE side
+    comp = {r.id: r.keeper_id for r in clusters.collect()}
+    by_keeper: dict = {}
+    for did, k in comp.items():
+        by_keeper.setdefault(k, set()).add(side[did])
+    assert all(len(s) == 1 for s in by_keeper.values())
+    # val fraction in the right band on the 300 solo docs
+    n_val = sum(1 for i in range(300) if side[100 + i] == "val")
+    assert 30 <= n_val <= 90                       # 0.2 ± generous band
+
+    again = {r.doc_id: r.split
+             for r in train_val_split(docs.repartition(16), clusters,
+                                      val_frac=0.2).collect()}
+    assert again == side
+    # a different salt decorrelates; without clusters it still splits
+    other = {r.doc_id: r.split
+             for r in train_val_split(docs, clusters, val_frac=0.2,
+                                      salt="split_v2").collect()}
+    assert other != side
+    plain = train_val_split(docs, val_frac=0.2)
+    assert set(r.split for r in plain.collect()) == {"train", "val"}
