@@ -96,6 +96,7 @@ def test_quality_classifier_numpy_parity_and_invariance(spark):
     assert np.allclose(got8, got_w, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_curation_classifier_stage(spark, tmp_path):
     """classifier_target + classifier_min_prob: the committed stage drops
     pool docs the trained classifier scores below the floor, keeps the

@@ -447,6 +447,7 @@ def test_curation_dsir_stage_accounting_resume_and_rebuild(spark, tmp_path):
         run_curation(spark, docs, run_dir, dsir_keep=6)
 
 
+@pytest.mark.slow
 def test_curation_semdedup_stage(spark, tmp_path):
     """semdedup_eps+embeddings: near-identical-direction embeddings
     collapse after lexical dedup; docs WITHOUT an embedding pass through;
@@ -486,6 +487,7 @@ def test_curation_semdedup_stage(spark, tmp_path):
         run_curation(spark, docs, run_dir, semdedup_eps=0.05)
 
 
+@pytest.mark.slow
 def test_curation_span_stage_drop_and_remove(spark, tmp_path):
     """max_dup_span_fraction drops heavily-span-covered docs;
     remove_dup_spans instead excises the b-side intervals with exact
@@ -537,6 +539,7 @@ def test_curation_span_stage_drop_and_remove(spark, tmp_path):
     assert res4["summary"]["after_spans"] == 2
 
 
+@pytest.mark.slow
 def test_curation_line_dedup_and_bloom_decontam_stages(spark, tmp_path):
     """dedup_lines: boilerplate lines excised corpus-wide BEFORE quality
     scoring (CCNet ordering) with lines_removed accounting; the knob flip

@@ -1136,6 +1136,7 @@ def test_semdedup_preserves_ids_above_float53(spark):
     assert out[7].keeper_id == 7
 
 
+@pytest.mark.slow
 def test_train_val_split_is_leakage_safe_and_deterministic(spark):
     """Near-dup cluster members never straddle the train/val boundary
     (split key = cluster keeper); the split is a pure function of
