@@ -856,14 +856,25 @@ def duplicate_spans(docs: DataFrame, pairs: DataFrame, min_len: int = 50,
         import pandas as pd
 
         tok_rx = re.compile(r"\S+")
+        # per-task memo: a doc in k candidate pairs of this batch is
+        # winnowed/tokenized ONCE, not k times (boilerplate clusters put
+        # one doc in many pairs). Keyed by id — ids are tiny, texts are
+        # not; the cache lives for one Arrow batch stream (task-bounded).
+        memo: dict = {}
 
-        def one_pair(ta: str, tb: str):
-            anch_a = _winnow_anchors(ta, n, window)
-            anch_b = _winnow_anchors(tb, n, window)
+        def doc_info(did, text):
+            got = memo.get(did)
+            if got is None:
+                got = (_winnow_anchors(text, n, window),
+                       [m.start() for m in tok_rx.finditer(text)])
+                memo[did] = got
+            return got
+
+        def one_pair(ia, ib, ta: str, tb: str):
+            anch_a, tok_a = doc_info(ia, ta)
+            anch_b, tok_b = doc_info(ib, tb)
             if not anch_a or not anch_b:
                 return [], 0
-            tok_a = [m.start() for m in tok_rx.finditer(ta)]
-            tok_b = [m.start() for m in tok_rx.finditer(tb)]
             by_hash: dict[int, list[int]] = {}
             for h, p in anch_a:
                 by_hash.setdefault(h, []).append(p)
@@ -908,7 +919,7 @@ def duplicate_spans(docs: DataFrame, pairs: DataFrame, min_len: int = 50,
             for ia, ib, ta, tb, trunc in zip(pdf["id_a"], pdf["id_b"],
                                              pdf["_ta"], pdf["_tb"],
                                              pdf["_trunc"]):
-                spans, dropped = one_pair(ta[:cap], tb[:cap])
+                spans, dropped = one_pair(ia, ib, ta[:cap], tb[:cap])
                 for s_a, s_b, ln in spans:
                     out.append((ia, ib, s_a, s_b, ln, trunc, 0))
                 if dropped:

@@ -637,3 +637,40 @@ def harmonic_centrality_approx(triples: DataFrame, t_max: int = 8,
                          .alias("centrality"))
     finally:
         edges.unpersist()
+
+
+def edge_pmi(edges: DataFrame, src_col: str = "src",
+             dst_col: str = "dst") -> DataFrame:
+    """→ (src, dst, n, pmi, npmi) — pointwise mutual information of each
+    DISTINCT edge against the independence null of its endpoint marginals
+    (Church & Hanks 1990): the standard statistical confidence score for
+    co-occurrence edges — in this repo's KG, how much more often
+    (subj, obj) co-occur than their individual frequencies predict, the
+    signal that separates a real (file, IMPORTS, module) habit from two
+    independently-popular nodes. Multi-edges count as occurrences.
+
+        pmi  = ln( p(s,d) / (p(s,·) · p(·,d)) )
+        npmi = pmi / −ln p(s,d)          (normalized to (−1, 1])
+
+    Shape: one pair-count groupBy, two marginal aggs OF THAT pair table
+    (never re-touching the edge stream), one broadcast 1-row total, two
+    vocabulary-sized joins — ANSI-expressible end to end (DuckDB parity
+    in tests/test_graph.py; rounded with the +1e-9 epsilon)."""
+    pair = (edges.groupBy(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+            .agg(F.count("*").alias("n")))
+    s_marg = pair.groupBy("src").agg(F.sum("n").alias("n_src"))
+    d_marg = pair.groupBy("dst").agg(F.sum("n").alias("n_dst"))
+    tot = pair.agg(F.sum("n").alias("n_tot"))
+    p_sd = F.col("n") / F.col("n_tot")
+    pmi = F.log((F.col("n") * F.col("n_tot")) /
+                (F.col("n_src") * F.col("n_dst")))
+    # p(s,d) = 1 (a single distinct edge) makes −ln p = 0: define npmi = 1
+    # there (perfect association by convention) instead of dividing by zero
+    npmi = F.when(F.col("n") == F.col("n_tot"), F.lit(1.0)) \
+        .otherwise(pmi / -F.log(p_sd))
+    return (pair.join(s_marg, "src").join(d_marg, "dst")
+            .crossJoin(F.broadcast(tot))
+            .select("src", "dst", "n",
+                    F.round(pmi + 1e-9, 4).alias("pmi"),
+                    F.round(npmi + 1e-9, 4).alias("npmi")))

@@ -300,3 +300,51 @@ def test_harmonic_centrality_approx_vs_exact(spark):
     for n, e in exact.items():
         assert abs(got[n] - e) / e < 0.08, (n, got[n], e)
     assert min(got["n2"], got["n3"]) > max(got["n1"], got["n4"])
+
+
+def test_edge_pmi_known_values_and_duckdb_parity(spark):
+    """PMI edge confidence: an exclusive (s,d) habit scores above a pair
+    of independently-popular endpoints; exact DuckDB parity on the
+    ln-formula; the single-edge corpus hits the npmi=1 convention."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.graph import edge_pmi
+
+    # a<->x exclusively (4 times); hub h touches many dsts once each
+    rows = ([("a", "x")] * 4 +
+            [("h", f"d{i}") for i in range(4)] +
+            [("b", "d0"), ("c", "d1")])
+    edges_pd = pd.DataFrame(rows, columns=["src", "dst"])
+    edges = spark.createDataFrame(edges_pd)
+
+    got = {(r.src, r.dst): r for r in edge_pmi(edges).collect()}
+    n_tot = len(rows)
+    want_ax = math.log((4 * n_tot) / (4 * 4))
+    assert got[("a", "x")].pmi == round(want_ax + 1e-9, 4)
+    assert got[("a", "x")].pmi > got[("h", "d0")].pmi
+    assert -1 < got[("h", "d0")].npmi < got[("a", "x")].npmi <= 1
+
+    con = duckdb.connect()
+    con.register("edges", edges_pd)
+    want = con.execute("""
+    WITH pair AS (SELECT src, dst, count(*) AS n FROM edges GROUP BY 1, 2),
+    s AS (SELECT src, sum(n) AS n_src FROM pair GROUP BY src),
+    d AS (SELECT dst, sum(n) AS n_dst FROM pair GROUP BY dst),
+    t AS (SELECT sum(n) AS n_tot FROM pair)
+    SELECT src, dst, n,
+           round(ln((n * n_tot * 1.0) / (n_src * n_dst)) + 1e-9, 4) AS pmi,
+           round(CASE WHEN n = n_tot THEN 1.0
+                 ELSE ln((n * n_tot * 1.0) / (n_src * n_dst))
+                      / -ln(n * 1.0 / n_tot) END + 1e-9, 4) AS npmi
+    FROM pair JOIN s USING (src) JOIN d USING (dst) CROSS JOIN t
+    ORDER BY src, dst
+    """).df()
+    got_pd = (edge_pmi(edges).toPandas()
+              .sort_values(["src", "dst"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_pd, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+    single = edge_pmi(spark.createDataFrame([("s", "t")], ["src", "dst"]))
+    assert single.collect()[0].npmi == 1.0
