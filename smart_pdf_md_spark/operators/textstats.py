@@ -635,3 +635,54 @@ def train_val_split(docs: DataFrame, clusters: DataFrame | None = None,
         F.when(bucket < int(val_frac * 1_000_000), F.lit("val"))
         .otherwise(F.lit("train")))
     return out.drop("keeper_id") if clusters is not None else out
+
+
+def mix_corpus(docs: DataFrame, weights: dict, budget_tokens: int,
+               by: str = "source", token_col: str = "n_tokens",
+               id_col: str = "doc_id", salt: str = "mix_v1") -> DataFrame:
+    """Build a TRAINING MIX: sample/upsample each ``by`` domain so its
+    share of a ``budget_tokens`` total matches ``weights`` (normalized) —
+    the data-mixture step every pretraining recipe specifies (the
+    Pile/Llama-style "wikipedia 3 epochs, web 0.8 epochs" tables). For
+    each domain with target share t·budget over available tokens A:
+
+        rate = t·budget / A
+        rate ≤ 1 → keep a deterministic id-hash sample of rate
+        rate > 1 → every doc repeats floor(rate) times (epochs) plus a
+                   hash-sampled extra epoch for the fractional part
+
+    Output = selected docs × their epochs, with ``epoch`` (0-based),
+    ``mix_rate``, and the domain share auditable by summing token_col.
+    Domains absent from ``weights`` drop. Decisions are pure functions of
+    (id, epoch, salt) — the stratified_sample contract: stable across
+    partitionings, resumes, and cluster sizes; expected token totals hit
+    the target (hash sampling is exact in expectation, not in count).
+
+    Shape: one domain-bounded stats agg broadcast back onto the scan, one
+    epoch explode — no shuffle of the document stream beyond the stats
+    agg's map-side combine."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    tot_w = float(sum(weights.values()))
+    avail = (docs.groupBy(by)
+             .agg(F.sum(token_col).cast("double").alias("_avail")))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rated = (docs.join(F.broadcast(avail), by)
+             .withColumn("_w", wmap[F.col(by)].cast("double"))
+             .filter(F.col("_w").isNotNull())
+             .withColumn("mix_rate",
+                         F.round((F.col("_w") / tot_w) * budget_tokens
+                                 / F.col("_avail") + 1e-9, 6)))
+    whole = F.floor(F.col("mix_rate")).cast("int")
+    frac = F.col("mix_rate") - whole
+    extra = (F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                               whole.cast("string"), F.lit(salt)),
+                    F.lit(1_000_000))
+             < (frac * 1_000_000).cast("long")).cast("int")
+    n_rep = whole + extra
+    return (rated.filter(n_rep > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0), n_rep - 1)))
+            .drop("_avail", "_w"))

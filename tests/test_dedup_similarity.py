@@ -1177,3 +1177,35 @@ def test_train_val_split_is_leakage_safe_and_deterministic(spark):
     assert other != side
     plain = train_val_split(docs, val_frac=0.2)
     assert set(r.split for r in plain.collect()) == {"train", "val"}
+
+
+def test_mix_corpus_hits_proportions_with_upsampling(spark):
+    """The mixture builder: a small high-weight domain UPSAMPLES (whole
+    epochs + a fractional hash epoch), a large low-weight domain
+    downsamples, realized token shares track the requested weights, and
+    the mix is a pure function of (id, epoch, salt)."""
+    from smart_pdf_md_spark.operators.textstats import mix_corpus
+
+    rows = [(i, "wiki", 100) for i in range(50)]          # 5k tokens
+    rows += [(1000 + i, "web", 100) for i in range(950)]  # 95k tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    budget, w = 50_000, {"wiki": 0.4, "web": 0.6}
+    out = mix_corpus(docs, w, budget).localCheckpoint(eager=True)
+    got = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    # wiki target 20k over 5k available → rate 4.0 → exactly 4 epochs
+    assert got["wiki"] == 20_000
+    assert out.filter("source = 'wiki'") \
+        .agg(F.max("epoch")).collect()[0][0] == 3
+    # web target 30k over 95k → rate ~0.3158, hash-sampled in expectation
+    assert abs(got["web"] - 30_000) / 30_000 < 0.15
+    assert out.filter("source = 'web'") \
+        .agg(F.max("epoch")).collect()[0][0] == 0
+
+    again = mix_corpus(docs.repartition(16), w, budget)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, out.collect()))
+    # unnamed domains drop
+    assert mix_corpus(docs, {"wiki": 1.0}, budget) \
+        .filter("source = 'web'").count() == 0
