@@ -69,6 +69,7 @@ _FILTERED, _KEPT, _CHUNKS, _DONE = ("cur_filtered", "cur_kept",
                                     "cur_chunks", "cur_processed")
 _SKETCH = "cur_content_hll"
 _BANDS = "cur_bands"
+_LINES = "cur_lines"
 
 
 def _history_bands(spark: SparkSession, run_dir: str,
@@ -87,6 +88,64 @@ def _history_bands(spark: SparkSession, run_dir: str,
                   "id", "left_anti"))
 
 
+
+
+def _dedup_lines_cross_batch(spark: SparkSession, run_dir: str,
+                             scrubbed: DataFrame,
+                             batch_ids: DataFrame):
+    """CCNet line dedup, append-only form: excise lines first-kept by any
+    EARLIER batch (cur_lines state, batch-excluded on replay — the
+    _history_bands discipline), keep this batch's first occurrences
+    (min (doc_id, idx), deterministic), commit them, and rebuild texts.
+    Returns (rebuilt scrubbed frame, lines removed this batch)."""
+    ex = (scrubbed.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n"))
+        .alias("idx", "line"))
+        .withColumn("_elig", F.length(F.trim("line")) >= 1)
+        .withColumn("line_hash", F.xxhash64("line")))
+    hist = None
+    if stage_committed(run_dir, _LINES):
+        hist = (read_stage(spark, run_dir, _LINES)
+                .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+                .select("line_hash").distinct())
+    firsts = (ex.filter("_elig")
+              .groupBy("line_hash")
+              .agg(F.min(F.struct("doc_id", "idx")).alias("_first")))
+    if hist is not None:
+        firsts = firsts.join(hist, "line_hash", "left_anti")
+    marked = (ex.join(firsts, "line_hash", "left")
+              .withColumn("_keep",
+                          ~F.col("_elig") |
+                          (F.col("_first").isNotNull() &
+                           (F.struct("doc_id", "idx") == F.col("_first")))))
+    rebuilt = (marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_keep"), F.struct("idx", "line")))),
+                lambda s: s.line), "\n").alias("text"),
+        F.sum((~F.col("_keep")).cast("int")).cast("long")
+        .alias("_removed")))
+    out = (scrubbed.drop("text")
+           .join(rebuilt, "doc_id")
+           .select("doc_id", "text", "lang")
+           .localCheckpoint(eager=True))
+    n_removed = int(rebuilt.agg(
+        F.coalesce(F.sum("_removed"), F.lit(0))).collect()[0][0])
+    new_first = (firsts.select(F.col("_first.doc_id").alias("doc_id"),
+                               "line_hash"))
+    if stage_committed(run_dir, _LINES):
+        already = (read_stage(spark, run_dir, _LINES)
+                   .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                   .select("doc_id", "line_hash").distinct())
+        new_first = new_first.join(already, ["doc_id", "line_hash"],
+                                   "left_anti")
+    commit_stage(new_first.repartition(8, "line_hash"), run_dir, _LINES,
+                 ["doc_id", "line_hash"],
+                 mode="append" if stage_committed(run_dir, _LINES)
+                 else "overwrite")
+    return out, n_removed
+
 def curate_append(
     spark: SparkSession,
     docs: DataFrame,
@@ -95,13 +154,24 @@ def curate_append(
     dup_line_max: float = 0.5,
     dup_ngram_max: float | None = 0.8,
     dedup_threshold: float = 0.9,
+    dedup_lines: bool = False,
     chunk_tokens: int = 100,
     overlap: int = 20,
 ) -> dict:
     """Process one batch of docs(doc_id, text, lang); returns exact batch
     accounting plus the cumulative kept/chunk counts. Idempotent: docs in
     a committed batch are skipped entirely; a crash mid-batch reprocesses
-    only that batch (intermediate appends anti-join their stages)."""
+    only that batch (intermediate appends anti-join their stages).
+
+    ``dedup_lines=True`` adds CROSS-BATCH line-level exact dedup (the
+    CCNet stage's append-only form): a line already first-kept by ANY
+    earlier batch is excised from this batch's documents before quality
+    scoring, and this batch's surviving first occurrences append to the
+    committed ``cur_lines`` state — (doc_id, line_hash) rows, so torn-run
+    replays exclude their own contributions exactly like cur_bands
+    (first-seen wins, immutable history, no retraction). The knob must
+    stay constant for a run_dir's lifetime (append-only state has no
+    params-digest rebuild)."""
     batch_in = docs.count()
     pending = docs.select("doc_id", "text", "lang")
     if stage_committed(run_dir, _DONE):
@@ -121,6 +191,11 @@ def curate_append(
     scrubbed = pending.select(
         "doc_id", scrub_cols(F.col("text"))["text_scrubbed"].alias("text"),
         "lang")
+    if dedup_lines:
+        scrubbed, n_lines_removed = _dedup_lines_cross_batch(
+            spark, run_dir, scrubbed,
+            pending.select("doc_id").distinct())
+        summary["batch_lines_removed"] = n_lines_removed
     text = F.col("text")
     keep = (quality_cols(text)["quality"] >= quality_min) & \
         (repetition_cols(text)["dup_line_ratio"] <= dup_line_max) & \

@@ -207,3 +207,60 @@ def test_history_bands_excludes_torn_committed_batch_rows(spark, tmp_path):
     got = sorted(map(tuple, _history_bands(spark, run_dir,
                                            batch_ids).collect()))
     assert got == [(8, 1, 88), (9, 0, 99)]
+
+
+def test_incremental_line_dedup_across_batches(spark, tmp_path):
+    """dedup_lines=True: a boilerplate line keeps its batch-1 first
+    occurrence, is excised from later batch-1 docs AND from every later
+    batch; a torn replay (cur_lines committed, roster not) does not
+    self-block; accounting is exact."""
+    from smart_pdf_md_spark.plans.manifests import commit_stage, read_stage
+
+    boiler = "subscribe to the newsletter for updates every day it is said"
+    good = ("the story of it is on a hill and for the day it was a good "
+            "one in the end with more words to pass the quality gate")
+
+    b1 = spark.createDataFrame(
+        [(1, good + " alpha one\n" + boiler, "en"),
+         (2, boiler + "\n" + good + " beta two", "en")],
+        ["doc_id", "text", "lang"])
+    run_dir = str(tmp_path / "inc")
+    s1 = curate_append(spark, b1, run_dir, dedup_lines=True,
+                       dup_ngram_max=None)
+    assert s1["batch_lines_removed"] == 1
+    f1 = {r.doc_id: r.text for r in read_stage(
+        spark, run_dir, "cur_filtered").collect()}
+    assert boiler in f1[1] and boiler not in f1[2]
+
+    # batch 2: the line is HISTORY now — excised from a new doc
+    b2 = spark.createDataFrame(
+        [(3, good + " gamma three\n" + boiler, "en")],
+        ["doc_id", "text", "lang"])
+    s2 = curate_append(spark, b2, run_dir, dedup_lines=True,
+                       dup_ngram_max=None)
+    assert s2["batch_lines_removed"] == 1
+    f2 = {r.doc_id: r.text for r in read_stage(
+        spark, run_dir, "cur_filtered").collect()}
+    assert boiler not in f2[3] and "gamma three" in f2[3]
+
+    # torn replay of batch 3: commit its cur_lines rows, leave the roster
+    # uncommitted → reprocessing must not drop its OWN first occurrences
+    b3 = spark.createDataFrame(
+        [(4, good + " delta four\nunique brand new line here", "en")],
+        ["doc_id", "text", "lang"])
+    torn = spark.createDataFrame(
+        [(4, spark.createDataFrame(
+            [("unique brand new line here",)], ["l"])
+            .selectExpr("xxhash64(l)").collect()[0][0])],
+        ["doc_id", "line_hash"])
+    commit_stage(torn, run_dir, "cur_lines", ["doc_id", "line_hash"],
+                 mode="append")
+    s3 = curate_append(spark, b3, run_dir, dedup_lines=True,
+                       dup_ngram_max=None)
+    f3 = {r.doc_id: r.text for r in read_stage(
+        spark, run_dir, "cur_filtered").collect()}
+    assert "unique brand new line here" in f3[4]   # not self-blocked
+    assert s3["batch_lines_removed"] == 0
+    # and the state holds each (doc_id, line_hash) once
+    lines = read_stage(spark, run_dir, "cur_lines")
+    assert lines.count() == lines.distinct().count()
