@@ -51,6 +51,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import functions as F
 
 
 def _stage_dir(run_dir: str, stage: str) -> str:
@@ -468,3 +469,29 @@ def verify_stage_digests(spark: SparkSession, run_dir_a: str, run_dir_b: str,
                    "digest_a": f"{da:016x}", "digest_b": f"{db:016x}",
                    "match": ra == rb and da == db}
     return out
+
+
+def run_report(spark: SparkSession, run_dir: str) -> DataFrame:
+    """→ (stage, run_id, n_rows, n_partitions) — one row per COMMITTED
+    stage under ``run_dir``, read entirely from the manifest layer (no
+    data files touched): the audit view a pipeline operator queries to
+    answer "what has this run_dir committed, how big is each stage, and
+    under which run_id" — for curation runs this is the per-stage drop
+    accounting without recomputing any count. Stages are discovered from
+    the directory (anything with a _COMMITTED marker), so KG and curation
+    run_dirs both report; uncommitted/foreign subdirectories are skipped.
+    Driver-side work is one tiny manifest read per stage (manifests are
+    per-partition row-count tables, KB-sized by construction)."""
+    rows = []
+    for name in sorted(os.listdir(run_dir)):
+        if not os.path.isdir(_stage_dir(run_dir, name)):
+            continue
+        marker = _read_marker(run_dir, name)
+        if marker is None:
+            continue
+        m = read_manifest(spark, run_dir, name) \
+            .agg(F.coalesce(F.sum("row_count"), F.lit(0)).alias("r"),
+                 F.count("*").alias("p")).collect()[0]
+        rows.append((name, marker.get("run_id"), int(m["r"]), int(m["p"])))
+    return spark.createDataFrame(
+        rows, "stage string, run_id string, n_rows long, n_partitions long")

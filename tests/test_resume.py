@@ -437,3 +437,34 @@ def test_runlog_edges_stage_carries_drop_metrics(spark, corpus_sdf, run_dir,
     second = edges_lines()[1]
     assert second["resumed"] is True
     assert "dropped_buckets" not in second
+
+
+def test_run_report_reads_only_manifests(spark, tmp_path):
+    """run_report: one row per committed stage with exact row counts, read
+    from the manifest layer alone — stages report after the data files
+    are deleted; uncommitted directories are skipped."""
+    import os
+    import shutil
+
+    from smart_pdf_md_spark.plans.manifests import commit_stage, run_report
+
+    run_dir = str(tmp_path / "run")
+    commit_stage(spark.range(7).selectExpr("id AS doc_id"),
+                 run_dir, "alpha", ["doc_id"])
+    commit_stage(spark.range(3).selectExpr("id AS doc_id"),
+                 run_dir, "beta", ["doc_id"])
+    os.makedirs(os.path.join(run_dir, "not_a_stage"))
+
+    got = {r.stage: r for r in run_report(spark, run_dir).collect()}
+    assert set(got) == {"alpha", "beta"}
+    assert got["alpha"].n_rows == 7 and got["beta"].n_rows == 3
+    assert all(r.run_id for r in got.values())
+
+    # manifests alone carry the report: nuke the batch data dirs
+    for st in ("alpha", "beta"):
+        sdir = os.path.join(run_dir, st)
+        for f in os.listdir(sdir):
+            if f.startswith("batch_") or f == "data":
+                shutil.rmtree(os.path.join(sdir, f), ignore_errors=True)
+    got2 = {r.stage: r.n_rows for r in run_report(spark, run_dir).collect()}
+    assert got2 == {"alpha": 7, "beta": 3}
