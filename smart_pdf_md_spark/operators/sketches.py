@@ -226,3 +226,69 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame,
                         .bitwiseAND(F.col("mask")) != 0).cast("int")))
     return (hit.groupBy(*cols)
             .agg((F.sum("_set") == k).alias("maybe_present")))
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed histogram — mergeable QUANTILE state for positive metrics
+# (doc lengths, token counts, chunk sizes, latencies). State = (bucket,
+# cnt) rows with bucket = floor(k·log2(x)): counts are exact, merge =
+# groupBy-sum (idempotent pipeline-commit discipline does NOT apply —
+# counts are additive like CMS, so incremental callers use the epoch
+# guard), and any quantile reads back with RELATIVE error ≤ 2^(1/k) − 1
+# (~9% at the default k=8; raise k for tighter bands). The mergeable
+# complement of percentile_approx, whose sketch dies with its aggregation
+# — this one is a table you commit once per batch and fold forever.
+# Zero and negative values land in a reserved bucket (MIN_BUCKET) and
+# count toward rank but interpolate as 0.
+# ---------------------------------------------------------------------------
+
+_LOG_MIN_BUCKET = -(1 << 30)
+
+
+def log_histogram(df: DataFrame, value_col: str, k: int = 8) -> DataFrame:
+    """→ (bucket, cnt) — the mergeable log-histogram of a positive metric
+    column. One scan-side bucket expression + one map-side-combinable
+    groupBy; ≤ k·64 + 1 distinct buckets regardless of row count."""
+    v = F.col(value_col).cast("double")
+    bucket = F.when(v <= 0, F.lit(_LOG_MIN_BUCKET)) \
+        .otherwise(F.floor(F.lit(k) * F.log2(v)).cast("long"))
+    return (df.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def log_histogram_merge(*tables: DataFrame) -> DataFrame:
+    """Union of the underlying populations: bucket-wise count sum."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def log_histogram_quantiles(hist: DataFrame, qs: list[float],
+                            k: int = 8) -> dict[float, float]:
+    """Quantile estimates from a committed histogram: walk the cumulative
+    counts to each rank and return the geometric midpoint of its bucket
+    — relative error ≤ 2^(1/k) − 1 by construction. The histogram is
+    KB-sized (bucket-bounded), so the walk is a driver-side fold over
+    one tiny collect — never a data-sized operation."""
+    import math
+
+    rows = sorted((r["bucket"], r["cnt"]) for r in hist.collect())
+    total = sum(c for _, c in rows)
+    if total == 0:
+        raise ValueError("empty histogram")
+    out: dict[float, float] = {}
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        rank = q * total
+        seen = 0.0
+        val = 0.0
+        for b, c in rows:
+            seen += c
+            if seen >= rank:
+                val = 0.0 if b == _LOG_MIN_BUCKET else \
+                    2.0 ** ((b + 0.5) / k)  # geometric bucket midpoint
+                break
+        out[q] = val
+    return out

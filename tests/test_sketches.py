@@ -187,3 +187,43 @@ def test_decontaminate_bloom_matches_exact_gate(spark):
         assert exact[i].n_grams == bloom[i].n_grams, i
     assert bloom[2].contaminated and not bloom[1].contaminated
     assert bloom[3].n_grams == 0 and not bloom[3].contaminated
+
+
+def test_log_histogram_quantiles_relative_error_and_merge(spark):
+    """Mergeable quantile state: estimates sit inside the guaranteed
+    relative-error band against exact quantiles; split-built histograms
+    merge to the whole bit-for-bit; zeros land in the reserved bucket."""
+    import numpy as np
+
+    from smart_pdf_md_spark.operators.sketches import (
+        log_histogram,
+        log_histogram_merge,
+        log_histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(mean=5.0, sigma=1.5, size=4000)
+    df = spark.createDataFrame([(float(v),) for v in vals], ["n_tokens"])
+
+    k = 8
+    hist = log_histogram(df, "n_tokens", k=k)
+    assert hist.count() <= k * 64 + 1
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = log_histogram_quantiles(hist, qs, k=k)
+    tol = 2 ** (1.0 / k) - 1          # ≈ 0.0905 at k=8
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) / exact <= tol + 1e-9, (q, got[q], exact)
+
+    half_a = df.filter("n_tokens < 150")
+    half_b = df.subtract(half_a)
+    merged = log_histogram_merge(log_histogram(half_a, "n_tokens", k=k),
+                                 log_histogram(half_b, "n_tokens", k=k))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, hist.collect()))
+
+    withz = spark.createDataFrame([(0.0,), (0.0,), (8.0,)], ["n_tokens"])
+    hz = log_histogram(withz, "n_tokens", k=k)
+    got_z = log_histogram_quantiles(hz, [0.3, 0.99], k=k)
+    assert got_z[0.3] == 0.0                       # zeros rank first
+    assert abs(got_z[0.99] - 8.0) / 8.0 <= tol
