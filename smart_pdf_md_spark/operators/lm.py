@@ -77,7 +77,8 @@ def unigram_logprob(docs: DataFrame | None, text_col: str = "text",
 def ppl_buckets(docs: DataFrame, by: str = "lang",
                 head: float = 0.33, middle: float = 0.66,
                 text_col: str = "text", id_col: str = "doc_id",
-                postings: DataFrame | None = None) -> DataFrame:
+                postings: DataFrame | None = None,
+                model: str = "unigram") -> DataFrame:
     """→ input columns + (avg_logprob, ppl_rank, ppl_bucket) — CCNet's
     head/middle/tail split, exact: within each `by` stratum, rank docs by
     avg_logprob DESC (least surprising first; ties by doc_id) and label
@@ -92,9 +93,24 @@ def ppl_buckets(docs: DataFrame, by: str = "lang",
     label-reattachment join (which AQE broadcasts whenever the label side
     fits). A prebuilt ``postings`` table (retrieval.bm25_index) skips the
     corpus re-explosion exactly as in :func:`unigram_logprob`; ``docs``
-    is still needed for the stratum column and the final reattach."""
-    slim = (unigram_logprob(docs, text_col, id_col, postings=postings)
-            .withColumnRenamed("doc_id", id_col).drop("n_tokens")
+    is still needed for the stratum column and the final reattach.
+
+    ``model="bigram"`` ranks by the Jelinek-Mercer interpolated bigram LM
+    instead (:func:`bigram_logprob` — order-sensitive: word salad falls
+    to the tail even with a corpus-typical token multiset; ``postings``
+    does not apply there, the bigram table is its own one-pass build).
+    Sub-2-token docs are excluded under the bigram model (nothing to
+    score), matching each scorer's own sub-token rule."""
+    if model == "unigram":
+        scored = unigram_logprob(docs, text_col, id_col,
+                                 postings=postings).drop("n_tokens")
+    elif model == "bigram":
+        if postings is not None:
+            raise ValueError("postings does not apply to model='bigram'")
+        scored = bigram_logprob(docs, text_col, id_col).drop("n_bigrams")
+    else:
+        raise ValueError(f"unknown model: {model!r}")
+    slim = (scored.withColumnRenamed("doc_id", id_col)
             .join(docs.select(id_col, by), id_col))
     w = Window.partitionBy(by).orderBy(F.desc("avg_logprob"), id_col)
     rk = F.round(F.percent_rank().over(w) + 1e-9, 4)

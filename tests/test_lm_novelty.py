@@ -276,3 +276,30 @@ def test_bigram_logprob_order_sensitivity_and_duckdb_parity(spark):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_pd, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_ppl_buckets_bigram_model_demotes_word_salad(spark):
+    """model='bigram': the order-sensitive ranking sends a scrambled doc
+    to the tail where the unigram model (blind to order) cannot separate
+    it from its fluent twin; unigram behavior is unchanged by default;
+    postings= is rejected under the bigram model."""
+    import pytest
+
+    from smart_pdf_md_spark.operators.lm import ppl_buckets
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent, "en") for i in range(8)]
+    rows.append((100, "dog the over quick lazy jumps fox brown the", "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    bi = {r.doc_id: r for r in ppl_buckets(docs, model="bigram").collect()}
+    assert bi[100].ppl_bucket == "tail"
+    assert all(bi[i].avg_logprob > bi[100].avg_logprob for i in range(8))
+
+    uni = {r.doc_id: r for r in ppl_buckets(docs).collect()}
+    assert uni[100].avg_logprob == uni[0].avg_logprob   # order-blind
+
+    with pytest.raises(ValueError, match="postings"):
+        ppl_buckets(docs, model="bigram", postings=docs)
+    with pytest.raises(ValueError, match="unknown model"):
+        ppl_buckets(docs, model="trigram")
