@@ -1504,19 +1504,139 @@ FROM scored QUALIFY rank <= 3
 """
 
 
+def _dedup_paragraphs_q(spark, sf):
+    # CCNet corpus-wide line dedup (operators/dedup.py:dedup_paragraphs,
+    # r8 VERDICT ask #1: exchanges hash-keyed on xxhash64(line)). The
+    # synthetic documents are single-line word soup, so BOTH engines
+    # first derive deterministic 3-word lines (the ~31-word vocabulary
+    # guarantees cross-document duplicate lines); the oracle keys its
+    # first-occurrence window on the 48-bit md5-prefix hash — the proven
+    # cross-engine hash-keyed formulation (text_fingerprint discipline).
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(3)).cast("int")
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 3 + 1, 3), " ")), "\n")
+    out = D.dedup_paragraphs(
+        docs.select("doc_id", lined.alias("text")))
+    return out.select("doc_id", "text", "n_lines", "n_removed_lines",
+                      "removed_chars", "was_rewritten", "content_sha256")
+
+
+_DEDUP_PARA_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN ['']
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(t) / 3.0) AS INT)),
+                        i -> array_to_string(t[i*3+1 : i*3+3], ' ')) AS ls
+  FROM tk
+), ex AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line
+  FROM lined, UNNEST(range(1, len(ls) + 1)) AS u(i)
+), marked AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN length(trim(line)) < 1 THEN TRUE
+              WHEN row_number() OVER (
+                   PARTITION BY CAST('0x' || substr(md5(line), 1, 12)
+                                     AS BIGINT)
+                   ORDER BY doc_id, idx) = 1 THEN TRUE
+              ELSE FALSE END AS keep
+  FROM ex
+), agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                             ORDER BY idx), '') AS new_text,
+         CAST(count(*) AS INT) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT)
+           AS n_removed_lines
+  FROM marked GROUP BY doc_id
+)
+SELECT l.doc_id, a.new_text AS text, a.n_lines, a.n_removed_lines,
+       CAST(length(l.orig) - length(a.new_text) AS INT) AS removed_chars,
+       a.n_removed_lines > 0 AS was_rewritten,
+       sha256(a.new_text) AS content_sha256
+FROM (SELECT doc_id, array_to_string(ls, chr(10)) AS orig FROM lined) l
+JOIN agg a USING (doc_id)
+"""
+
+
+def _bigram_logprob_q(spark, sf):
+    # Jelinek-Mercer interpolated bigram LM (operators/lm.py:
+    # bigram_logprob) — the order-sensitive CCNet-style quality signal;
+    # exact formula parity (lam=0.7 default) with the DuckDB twin.
+    return LM.bigram_logprob(_t(spark, sf, "documents"))
+
+
+_BIGRAM_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM tk, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2)
+  GROUP BY doc_id, w1, w2
+), bi AS (SELECT w1, w2, sum(cnt) AS c12 FROM per_doc GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+uni AS (SELECT w2, sum(cnt) AS cu FROM per_doc GROUP BY w2),
+tot AS (SELECT sum(cu) AS total FROM uni)
+SELECT doc_id, CAST(sum(cnt) AS INT) AS n_bigrams,
+       round(sum(cnt * log10(0.7 * c12 / c1 + 0.3 * cu / total))
+             / sum(cnt) + 1e-9, 4) AS avg_logprob
+FROM per_doc JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+     JOIN uni USING (w2) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def _edge_pmi_q(spark, sf):
+    # PMI/NPMI edge confidence (operators/graph.py:edge_pmi, Church &
+    # Hanks 1990) over the (supplier → part) co-occurrence edges of
+    # lineitem — partsupp gives each part ~4 suppliers, so pair counts
+    # n > 1 exercise the full formula, not just the n=1 branch.
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(F.col("l_suppkey").cast("string").alias("src"),
+                      F.col("l_partkey").cast("string").alias("dst"))
+    from smart_pdf_md_spark.operators.graph import edge_pmi
+    return edge_pmi(edges)
+
+
+_EDGE_PMI_SQL = """
+WITH pair AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS src,
+         CAST(l_partkey AS VARCHAR) AS dst, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), s AS (SELECT src, sum(n) AS n_src FROM pair GROUP BY src),
+d AS (SELECT dst, sum(n) AS n_dst FROM pair GROUP BY dst),
+t AS (SELECT sum(n) AS n_tot FROM pair)
+SELECT src, dst, n,
+       round(ln((n * n_tot * 1.0) / (n_src * n_dst)) + 1e-9, 4) AS pmi,
+       round(CASE WHEN n = n_tot THEN 1.0
+             ELSE ln((n * n_tot * 1.0) / (n_src * n_dst))
+                  / -ln(n * 1.0 / n_tot) END + 1e-9, 4) AS npmi
+FROM pair JOIN s USING (src) JOIN d USING (dst) CROSS JOIN t
+"""
+
+
 _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q1_pricing_summary": (_q1_pricing, _Q1_SQL),
     "s1_scan_project": (_s1_scan_project, _S1_SQL),
     "s3_lang_filter": (_s3_lang_filter, _S3_SQL),
     "p1_textual_predicate": (_p1_textual, _P1_SQL),
     "p2_routing": (_p2_routing, _P2_SQL),
-    "a1_run_summary": (_a1_run_summary, _A1_SQL),
     "j1_broadcast_join": (_j1_broadcast, _J1_SQL),
     "j4_anti_join": (_j4_anti, _J4_SQL),
     "w1_topk_per_group": (_w1_topk, _W1_SQL),
     "w3_sessionize": (_w3_sessionize, _W3_SQL),
-    "set_union_except": (_set_ops, _SET_SQL),
-    "agg_rollup": (_agg_rollup, _ROLLUP_SQL),
     "agg_cube": (_agg_cube, _CUBE_SQL),
     "agg_median_percentile": (_agg_median, _MEDIAN_SQL),
     "j5b_salted_agg": (_j5b_salted_agg, _J5B_SQL),
@@ -1599,6 +1719,19 @@ _PAIRS: dict[str, tuple[Callable, str | None]] = {
     "oov_rate": (_oov_rate_q, _OOV_SQL),
     "span_coverage": (_span_coverage_q, _SPAN_COV_SQL),
     "tfidf_keywords": (_tfidf_keywords_q, _TFIDF_SQL),
+    # r9 board rotation (r8 VERDICT next-round #2) — the 50-slot cap
+    # forces swaps. OFF three long-green trivial rows, each pinned
+    # elsewhere: a1_run_summary (8-round green; the run-summary family is
+    # pinned by the status-taxonomy + manifest tests), set_union_except
+    # (set-op machinery pinned by agg_cube + the r1-board-green history),
+    # agg_rollup (grouping-set family pinned by agg_cube, still on
+    # board). ON: the three round-8 operators whose DuckDB parity SQL
+    # already existed in tests — now full oracle rows. dedup_paragraphs
+    # lands AFTER its exchanges were hash-keyed (ask #1). Retired
+    # builders stay defined above for tests and callers.
+    "dedup_paragraphs": (_dedup_paragraphs_q, _DEDUP_PARA_SQL),
+    "bigram_logprob": (_bigram_logprob_q, _BIGRAM_SQL),
+    "edge_pmi": (_edge_pmi_q, _EDGE_PMI_SQL),
 }
 
 

@@ -63,7 +63,50 @@ HEADLINE = [
     "oov_rate",
     "span_coverage",
     "tfidf_keywords",
+    # r9 board additions (a1_run_summary / set_union_except / agg_rollup
+    # rotated off the board; their cost classes are covered by the
+    # manifest tests, agg_cube, and the text_* rows)
+    "dedup_paragraphs",
+    "bigram_logprob",
+    "edge_pmi",
 ]
+
+
+def _cpu_canary(spark) -> float:
+    """CPU-dense window canary (r8 VERDICT next-round #3): a fixed-size
+    hash-chain aggregation over an in-memory range — no file scan, no
+    corpus, no meaningful shuffle, code-stable by construction. The
+    scan/agg canary (q1+agg_cube) tracks the I/O/scheduling regime but
+    was FLAT in r8 while every CPU-dense query skewed ~1.4×; this one
+    tracks raw per-core throughput (turbo/steal state) so round-over-round
+    adjudication can normalize BOTH regimes without manual re-timing."""
+    from pyspark.sql import functions as F
+
+    def run(salt: str):
+        # fresh plan per pass — re-collecting the SAME DataFrame reuses
+        # the previous job's shuffle map outputs (skipped stages) and
+        # measures nothing. ~48M sha256 evaluations: ~1-2 s at this
+        # host's healthy 32-core regime — far above the ~40 ms
+        # task-scheduling floor, so a 1.4× CPU-regime skew moves it
+        # well outside noise.
+        df = spark.range(0, 6_000_000, 1,
+                         spark.sparkContext.defaultParallelism)
+        s = F.sha2(F.concat(F.lit(salt), F.col("id").cast("string")), 256)
+        for _ in range(7):
+            s = F.sha2(F.concat(s, F.col("id").cast("string")), 256)
+        # bit_xor, not sum: ANSI mode overflows summing near-uniform int64s
+        df.select(F.xxhash64(s).alias("h")) \
+            .agg(F.expr("bit_xor(h)").alias("s")).collect()
+
+    for salt in ("warmup0", "warmup1"):   # codegen + JIT ramp excluded
+        run(salt)
+    best = None
+    for salt in ("canary0", "canary1"):
+        t0 = time.perf_counter()
+        run(salt)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _materialize(df) -> None:
@@ -142,11 +185,19 @@ def main() -> int:
     # by the canary ratio before attributing any delta to code; r6's
     # reference canary (BENCH_r06) was q1 1.93 + agg_cube 1.00 = 2.93 s.
     canary = round(timings["q1_pricing_summary"] + timings["agg_cube"], 3)
+    # second, CPU-dense canary (r8 VERDICT next-round #3): fixed hash-chain
+    # work, measured OUTSIDE the headline total. Interpretation of the
+    # pair (documented in BENCH/BASELINE.md): canary_sec calibrates
+    # scan/agg-regime skew, canary_cpu_sec calibrates CPU-regime skew
+    # (turbo/steal) — the r8 window skewed CPU-dense queries ~1.4× while
+    # canary_sec read FASTER.
+    canary_cpu = _cpu_canary(spark)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "canary_sec": canary,
+        "canary_cpu_sec": canary_cpu,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "kg": {

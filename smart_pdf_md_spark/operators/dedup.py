@@ -20,6 +20,7 @@ The vendored-duplicate corpus fixture (FIXTURES.md: identical files across
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -1089,21 +1090,29 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
 
     Only segments whose trimmed length ≥ ``min_chars`` are dedup-ELIGIBLE;
     empty segments are preserved verbatim, so split("\\n") → rejoin is a
-    byte-exact round-trip for untouched documents. Pure Columns end to
-    end (ANSI-expressible — DuckDB parity pinned in tests): one
-    posexplode, one map-side-combinable groupBy(line)→min(struct) for the
+    byte-exact round-trip for untouched documents. ``sep`` is a LITERAL
+    separator (regex-escaped before F.split so '.' or '|' round-trip).
+
+    Pure Columns end to end (DuckDB parity pinned in tests): one
+    posexplode, one map-side-combinable groupBy→min(struct) for the
     first-occurrence table, one join back (hot boilerplate lines are a
-    1-row build side — no fan-out), one per-doc reassembly groupBy. The
-    line-keyed exchange is the only corpus-sized shuffle."""
-    lines = F.split(F.col(text_col), sep)
+    1-row build side — no fan-out), one per-doc reassembly groupBy. Both
+    corpus-sized exchanges key on ``xxhash64(line)`` — 8-byte keys
+    instead of shuffling every boilerplate line's full bytes as the key
+    (the _dedup_lines_batch discipline, plans/curation_incremental.py);
+    a 64-bit collision between two distinct corpus lines would merge
+    their first-occurrence groups — the same accepted, documented trade
+    as the incremental sibling (~n²/2⁶⁵)."""
+    lines = F.split(F.col(text_col), re.escape(sep))
     ex = docs.select(F.col(id_col).alias("id"),
                      F.posexplode(lines).alias("idx", "line"))
+    ex = ex.withColumn("line_hash", F.xxhash64("line"))
     elig = F.length(F.trim(F.col("line"))) >= min_chars
     firsts = (ex.filter(elig)
-              .groupBy("line")
+              .groupBy("line_hash")
               .agg(F.min(F.struct(F.col("id"), F.col("idx")))
                    .alias("_first")))
-    marked = (ex.join(firsts, "line", "left")
+    marked = (ex.join(firsts, "line_hash", "left")
               .withColumn("_keep",
                           F.col("_first").isNull() |
                           (F.struct(F.col("id"), F.col("idx"))

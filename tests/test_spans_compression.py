@@ -269,3 +269,43 @@ def test_dedup_paragraphs_first_occurrence_and_duckdb_parity(spark):
               .select("doc_id", "text", "n_lines", "n_removed_lines")
               .toPandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got_pd, want, check_dtype=False)
+
+
+def test_dedup_paragraphs_exchanges_key_on_line_hash(spark):
+    """Scale pin (r8 VERDICT ask #1): the corpus-sized shuffles inside
+    dedup_paragraphs must key on the 8-byte xxhash64(line), never on the
+    raw line string — boilerplate lines can be KBs and would otherwise
+    ride every exchange as the partitioning key on both sides."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "b\nc"]}))
+    plan = D.dedup_paragraphs(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    keyed = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert keyed, plan
+    for ln in keyed:
+        # every exchange keys on line_hash or the doc id — never the
+        # raw line string
+        assert "hashpartitioning(line#" not in ln.replace(" ", ""), ln
+    assert any("line_hash" in ln for ln in keyed), plan
+
+
+def test_dedup_paragraphs_sep_is_literal_not_regex(spark):
+    """ADVICE r8: sep is documented as a literal separator; '.' or '|'
+    must not be interpreted as regex by F.split."""
+    import hashlib
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["keep this.boiler plate.tail one",
+                               "boiler plate.other body"]}))
+    got = {r.doc_id: r
+           for r in D.dedup_paragraphs(docs, sep=".").collect()}
+    assert got[1].text == "keep this.boiler plate.tail one"
+    assert got[2].text == "other body"
+    assert got[2].n_removed_lines == 1
+    for r in got.values():
+        assert r.content_sha256 == hashlib.sha256(
+            r.text.encode("utf-8")).hexdigest()
