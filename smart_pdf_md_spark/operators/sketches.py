@@ -208,8 +208,12 @@ def bloom_merge(*tables: DataFrame) -> DataFrame:
 def bloom_contains(bloom: DataFrame, probes: DataFrame,
                    key_cols: list[str] | None = None,
                    m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
-    """→ probes + ``maybe_present`` — one-sided membership: False is
-    certain, True has the Bloom FP rate. ``m_bits``/``k`` MUST match the
+    """→ DISTINCT probe keys + ``maybe_present`` — one-sided membership:
+    False is certain, True has the Bloom FP rate. The output carries the
+    ``key_cols`` only, deduplicated (membership is a property of the KEY;
+    non-key probe columns are dropped — join the verdict back onto the
+    original frame on ``key_cols`` if you need row-aligned passthrough,
+    as decontaminate_bloom does). ``m_bits``/``k`` MUST match the
     builder's. The probe side explodes k positions and joins the (tiny,
     broadcast) block table; per-probe presence = all k bits set."""
     cols = key_cols or probes.columns

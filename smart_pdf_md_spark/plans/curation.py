@@ -38,6 +38,7 @@ from ..operators.dedup import (
     span_coverage,
 )
 from ..operators.classifier import (
+    pareto_keep,
     quality_classifier_score,
     train_quality_classifier,
 )
@@ -78,6 +79,8 @@ def run_curation(
     dedup_lines: bool = False,
     classifier_target: DataFrame | None = None,
     classifier_min_prob: float | None = None,
+    classifier_pareto_alpha: float | None = None,
+    classifier_train_frac: float | None = None,
     classifier_iters: int = 40,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
@@ -148,13 +151,20 @@ def run_curation(
       remove_spans (``remove_dup_spans=True`` — lineage column
       content_sha256 recomputed; span_chars_removed lands in summary).
 
-    ``classifier_target`` + ``classifier_min_prob`` enable the GPT-3
+    ``classifier_target`` + exactly one keep rule enable the GPT-3
     quality-classifier stage (Brown et al. 2020 appendix A —
     operators/classifier.py) between decontamination and the lm stage:
     a logistic regression is trained per run to distinguish the target
-    corpus from THIS pool's survivors, and docs scoring below the
-    probability floor drop (audit column ``prob`` committed). The params
-    digest covers the target content, iteration count, and floor.
+    corpus from THIS pool's survivors. Keep rules:
+    ``classifier_min_prob`` drops docs below a hard probability floor;
+    ``classifier_pareto_alpha`` applies the published stochastic rule
+    instead (keep iff Pareto(alpha) draw > 1−prob, hash-deterministic —
+    operators/classifier.pareto_keep; alpha=9 is the GPT-3 value).
+    ``classifier_train_frac`` trains on a deterministic id-hash sample
+    of the pool (the published recipe: train on a sample, score
+    everything — at scale 40 GD passes must not touch the full pool).
+    Audit column ``prob`` is committed; the params digest covers the
+    target content, iteration count, and all three knobs.
 
     Two more r8 stage knobs: ``dedup_lines=True`` inserts the CCNet
     corpus-wide line-dedup stage (dedup_paragraphs) between scrub and
@@ -166,13 +176,27 @@ def run_curation(
     sets too large to broadcast exactly)."""
     if (dsir_target is None) != (dsir_keep is None):
         raise ValueError("dsir_target and dsir_keep must be supplied together")
-    if (classifier_target is None) != (classifier_min_prob is None):
-        raise ValueError("classifier_target and classifier_min_prob must "
-                         "be supplied together")
+    clf_knobs = [k for k in (classifier_min_prob, classifier_pareto_alpha)
+                 if k is not None]
+    if classifier_target is not None and len(clf_knobs) != 1:
+        raise ValueError("classifier_target needs exactly one keep rule: "
+                         "classifier_min_prob (hard floor) OR "
+                         "classifier_pareto_alpha (GPT-3 stochastic)")
+    if classifier_target is None and (
+            clf_knobs or classifier_train_frac is not None):
+        raise ValueError("classifier knobs require classifier_target")
     if (semdedup_eps is not None) and embeddings is None:
         raise ValueError("semdedup_eps requires an embeddings frame")
     if decontam_via not in ("exact", "bloom"):
         raise ValueError(f"unknown decontam_via: {decontam_via!r}")
+    if max_dup_span_fraction is not None and remove_dup_spans:
+        # ADVICE r8: build_spans would take the rewrite path and silently
+        # ignore the drop threshold — refuse the ambiguous combination
+        # up front, before any stage runs
+        raise ValueError(
+            "max_dup_span_fraction (drop docs over the threshold) and "
+            "remove_dup_spans (excise the spans) are mutually exclusive "
+            "— pick one intervention per run")
     resumed: dict[str, bool] = {}
 
     def _note(stage: str) -> None:
@@ -295,18 +319,26 @@ def run_curation(
         upstream, upstream_name = clean, "clean"
 
     clf_stage = None
-    if classifier_min_prob is not None:
+    if classifier_target is not None:
         c_upstream = upstream  # bind, not close over the mutating name
 
         def build_clf() -> DataFrame:
             # train target-vs-THIS-POOL each run: the negative class is
-            # the surviving corpus itself (the GPT-3 recipe's raw side)
+            # the surviving corpus itself (the GPT-3 recipe's raw side;
+            # classifier_train_frac samples it — 40 GD passes touch only
+            # the sample, scoring stays one full pass)
             model = train_quality_classifier(
-                classifier_target, c_upstream, iters=classifier_iters)
+                classifier_target, c_upstream, iters=classifier_iters,
+                train_sample_frac=classifier_train_frac)
             scored = quality_classifier_score(c_upstream, model)
-            return (c_upstream.join(
-                scored.select("doc_id", "prob"), "doc_id")
-                .filter(F.col("prob") >= classifier_min_prob))
+            if classifier_min_prob is not None:
+                keep = scored.filter(F.col("prob") >= classifier_min_prob)
+            else:
+                keep = pareto_keep(
+                    scored, alpha=classifier_pareto_alpha) \
+                    .filter("kept")
+            return c_upstream.join(
+                keep.select("doc_id", "prob"), "doc_id")
 
         cfp = classifier_target.select(
             F.xxhash64(*[F.col(c) for c in classifier_target.columns])
@@ -316,6 +348,8 @@ def run_curation(
             spark, run_dir, "classifier", build_clf, ["doc_id"],
             deps=[upstream_name],
             params={"min_prob": classifier_min_prob,
+                    "pareto_alpha": classifier_pareto_alpha,
+                    "train_frac": classifier_train_frac,
                     "iters": classifier_iters,
                     "target_fp": f"{cfp.n}:{cfp.h}"})
         _note("classifier")
@@ -410,10 +444,14 @@ def run_curation(
             # is not a duplicate verdict (documented above)
             return s_upstream.join(dropped, "doc_id", "left_anti")
 
-        # the digest covers the embedding SET (id-based: one slim column
-        # scan — hashing every vector per run would re-read the corpus)
+        # the digest covers embedding CONTENT, not just the id set (r8
+        # VERDICT next-round #5: changed vectors under identical ids must
+        # rebuild the stage, not resume it). xxhash64 hashes the float
+        # array natively — one slim (id, vector) column scan per run, the
+        # price of a staleness-proof resume.
         efp = embeddings.select(
-            F.xxhash64(F.col("doc_id").cast("string")).alias("h")) \
+            F.xxhash64(F.col("doc_id").cast("string"),
+                       F.col("embedding")).alias("h")) \
             .agg(F.count("*").alias("n"),
                  F.expr("bit_xor(h)").alias("h")).collect()[0]
         sem_stage, resumed["semdedup"] = run_stage(

@@ -51,7 +51,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import functions as F
 
 
 def _stage_dir(run_dir: str, stage: str) -> str:

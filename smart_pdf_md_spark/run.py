@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--classifier-min-prob", type=float,
                     help="[curate] drop docs the trained classifier "
                          "scores below this target-likeness probability")
+    ap.add_argument("--classifier-pareto-alpha", type=float,
+                    help="[curate] GPT-3 stochastic keep rule instead of "
+                         "the hard floor: keep iff Pareto(alpha) draw > "
+                         "1-prob (published alpha=9)")
+    ap.add_argument("--classifier-train-frac", type=float,
+                    help="[curate] train the classifier on this "
+                         "deterministic id-hash fraction of the pool "
+                         "(published recipe: train on a sample, score "
+                         "everything)")
     ap.add_argument("--dsir-target", help="[curate] target-corpus parquet "
                                           "(doc_id, text); with "
                                           "--dsir-keep enables the DSIR "
@@ -278,6 +287,8 @@ def _run_curate(args) -> int:
             classifier_target=(spark.read.parquet(args.classifier_target)
                                if args.classifier_target else None),
             classifier_min_prob=args.classifier_min_prob,
+            classifier_pareto_alpha=args.classifier_pareto_alpha,
+            classifier_train_frac=args.classifier_train_frac,
             dsir_target=dsir_target, dsir_keep=args.dsir_keep,
             embeddings=embeddings, semdedup_eps=args.semdedup_eps,
             max_dup_span_fraction=args.max_dup_span_fraction,

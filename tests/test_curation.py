@@ -477,6 +477,20 @@ def test_curation_semdedup_stage(spark, tmp_path):
                         semdedup_lists=2)
     assert res2["resumed"]["semdedup"] is True
 
+    # r8 VERDICT next-round #5: identical doc_ids, CHANGED vectors — the
+    # params digest covers embedding CONTENT, so the stage must rebuild,
+    # not wrongly resume from the stale keeper set
+    emb_moved = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.001, 0.0]),
+         (2, [1.0, 0.002, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),
+         (4, [0.0, 0.0, 1.0, 0.0]), (5, [0.0, 0.0, 0.0, 1.0])],
+        ["doc_id", "embedding"])
+    res_m = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                         dedup_threshold=1.01,
+                         embeddings=emb_moved, semdedup_eps=0.05,
+                         semdedup_lists=2)
+    assert res_m["resumed"]["semdedup"] is False
+
     res3 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
                         dedup_threshold=1.01,
                         embeddings=emb, semdedup_eps=0.9,
@@ -537,6 +551,13 @@ def test_curation_span_stage_drop_and_remove(spark, tmp_path):
                         max_dup_span_fraction=0.5)
     assert res4["resumed"]["spans"] is False
     assert res4["summary"]["after_spans"] == 2
+
+    # ADVICE r8: the two interventions are mutually exclusive — before,
+    # remove_dup_spans silently won and the drop threshold was ignored
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_curation(spark, docs, run_dir2, dup_ngram_max=None,
+                     dedup_threshold=1.01,
+                     max_dup_span_fraction=0.5, remove_dup_spans=True)
 
 
 @pytest.mark.slow
