@@ -49,11 +49,13 @@ from ..operators.textstats import (
     cap_per_group,
     chunk_documents,
     compression_ratio_col,
+    mix_corpus,
     quality_cols,
     repetition_cols,
     scrub_cols,
     stratified_sample,
     token_count_cols,
+    train_val_split,
     winnow_containment_pairs,
 )
 from .manifests import run_stage
@@ -94,6 +96,10 @@ def run_curation(
     span_containment: float = 0.3,
     chunk_tokens: int = 100,
     overlap: int = 20,
+    val_frac: float | None = None,
+    mix_weights: dict | None = None,
+    mix_budget_tokens: int | None = None,
+    mix_by: str = "source",
     on_stage=None,
 ) -> dict:
     """docs(doc_id, text, lang, ...) → curated chunks, staged + resumable.
@@ -166,6 +172,16 @@ def run_curation(
     Audit column ``prob`` is committed; the params digest covers the
     target content, iteration count, and all three knobs.
 
+    Terminal training-set stages (r9): ``val_frac`` commits a
+    deterministic train/val ``split`` column over the chunks (doc-keyed —
+    every chunk of a doc co-travels; near-dups were already collapsed by
+    the dedup stages, so the id-hash split is leakage-safe here);
+    ``mix_weights`` + ``mix_budget_tokens`` commit the training-mix stage
+    (operators/textstats.mix_corpus) over the train chunks — per-domain
+    token totals and epoch counts land in the summary under
+    ``mix_domains``, the committed epoch stream is the reproducible
+    training input.
+
     Two more r8 stage knobs: ``dedup_lines=True`` inserts the CCNet
     corpus-wide line-dedup stage (dedup_paragraphs) between scrub and
     filter — boilerplate lines excised BEFORE quality scoring, exactly
@@ -189,6 +205,9 @@ def run_curation(
         raise ValueError("semdedup_eps requires an embeddings frame")
     if decontam_via not in ("exact", "bloom"):
         raise ValueError(f"unknown decontam_via: {decontam_via!r}")
+    if (mix_weights is None) != (mix_budget_tokens is None):
+        raise ValueError("mix_weights and mix_budget_tokens must be "
+                         "supplied together")
     if max_dup_span_fraction is not None and remove_dup_spans:
         # ADVICE r8: build_spans would take the rewrite path and silently
         # ignore the drop threshold — refuse the ambiguous combination
@@ -507,6 +526,53 @@ def run_curation(
         params={"chunk_tokens": chunk_tokens, "overlap": overlap})
     _note("chunks")
 
+    # terminal training-set stages (r8 VERDICT next-round #7): the split
+    # assignment and the training mix are COMMITTED artifacts — a user
+    # resuming the run reproduces the exact split and epoch stream, not a
+    # hand-rolled afterthought on top of the chunks snapshot.
+    split_stage = None
+    if val_frac is not None:
+        def build_split() -> DataFrame:
+            # keyed on doc_id: every chunk of a doc co-travels, and
+            # near-dup clusters were already collapsed to one keeper by
+            # the dedup/semdedup stages upstream, so the id-hash split is
+            # leakage-safe to this pipeline's own dedup standard (the
+            # standalone train_val_split(clusters=...) form exists for
+            # corpora that did NOT dedup first)
+            return train_val_split(chunks, val_frac=val_frac)
+
+        split_stage, resumed["split"] = run_stage(
+            spark, run_dir, "split", build_split,
+            ["doc_id", "chunk_idx"], deps=["chunks"],
+            params={"val_frac": val_frac})
+        _note("split")
+
+    mix_stage = None
+    if mix_weights is not None:
+        def build_mix() -> DataFrame:
+            # mix the TRAIN side when a split exists (eval chunks must
+            # never gain epochs); domains ride in from the doc-level
+            # upstream (chunks carry only doc_id/chunk_idx/text/len)
+            base = (split_stage.filter(F.col("split") == "train")
+                    if split_stage is not None else chunks)
+            # domain is an INPUT attribute (the scrub stage projects it
+            # away): read it from the original docs frame
+            dom = docs.select("doc_id", mix_by)
+            mixable = (base.join(dom, "doc_id")
+                       .withColumn("_mix_id",
+                                   F.concat_ws(":", "doc_id", "chunk_idx")))
+            return mix_corpus(mixable, mix_weights, mix_budget_tokens,
+                              by=mix_by, token_col="chunk_len",
+                              id_col="_mix_id").drop("_mix_id")
+
+        mix_stage, resumed["mix"] = run_stage(
+            spark, run_dir, "mix", build_mix,
+            ["doc_id", "chunk_idx", "epoch"],
+            deps=["split"] if val_frac is not None else ["chunks"],
+            params={"weights": mix_weights,
+                    "budget_tokens": mix_budget_tokens, "by": mix_by})
+        _note("mix")
+
     # one agg per committed stage — exact, cheap (reads the snapshots)
     summary = {
         "docs_in": docs.count(),
@@ -548,4 +614,21 @@ def run_curation(
                 F.coalesce(F.sum("n_removed_chars"), F.lit(0)))
                 .collect()[0][0])
         out["spans"] = spans_stage
+    if split_stage is not None:
+        sc = {r["split"]: r["n"] for r in split_stage.groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+        summary["train_chunks"] = int(sc.get("train", 0))
+        summary["val_chunks"] = int(sc.get("val", 0))
+        out["split"] = split_stage
+    if mix_stage is not None:
+        summary["mix_rows"] = mix_stage.count()
+        # per-domain token totals + epoch counts — the audit the mixture
+        # table is specified in (Pile/Llama-style recipes)
+        summary["mix_domains"] = {
+            r[mix_by]: {"tokens": int(r["tokens"]),
+                        "epochs": int(r["epochs"])}
+            for r in mix_stage.groupBy(mix_by)
+            .agg(F.sum("chunk_len").alias("tokens"),
+                 (F.max("epoch") + 1).alias("epochs")).collect()}
+        out["mix"] = mix_stage
     return out

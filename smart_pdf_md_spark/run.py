@@ -96,6 +96,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--classifier-min-prob", type=float,
                     help="[curate] drop docs the trained classifier "
                          "scores below this target-likeness probability")
+    ap.add_argument("--val-frac", type=float,
+                    help="[curate] commit a deterministic leakage-safe "
+                         "train/val split over the chunks (split column)")
+    ap.add_argument("--mix-weights",
+                    help="[curate] JSON {domain: weight} — commit a "
+                         "training mix over the (train) chunks; requires "
+                         "--mix-budget-tokens")
+    ap.add_argument("--mix-budget-tokens", type=int,
+                    help="[curate] total token budget for the mix stage")
+    ap.add_argument("--mix-by", default="source",
+                    help="[curate] domain column for the mix stage "
+                         "(default: source)")
     ap.add_argument("--classifier-pareto-alpha", type=float,
                     help="[curate] GPT-3 stochastic keep rule instead of "
                          "the hard floor: keep iff Pareto(alpha) draw > "
@@ -294,7 +306,12 @@ def _run_curate(args) -> int:
             max_dup_span_fraction=args.max_dup_span_fraction,
             remove_dup_spans=args.remove_dup_spans,
             chunk_tokens=args.chunk_tokens,
-            overlap=args.chunk_overlap)
+            overlap=args.chunk_overlap,
+            val_frac=args.val_frac,
+            mix_weights=(json.loads(args.mix_weights)
+                         if args.mix_weights else None),
+            mix_budget_tokens=args.mix_budget_tokens,
+            mix_by=args.mix_by)
         if args.out:
             res["chunks"].write.mode("overwrite").parquet(args.out)
         payload = {**res["summary"], "resumed": res["resumed"],

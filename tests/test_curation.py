@@ -611,3 +611,62 @@ def test_curation_line_dedup_and_bloom_decontam_stages(spark, tmp_path):
 
     with pytest.raises(ValueError, match="decontam_via"):
         run_curation(spark, docs, run_dir, decontam_via="nope")
+
+
+@pytest.mark.slow
+def test_curation_split_and_mix_terminal_stages(spark, tmp_path):
+    """r8 VERDICT next-round #7: val_frac commits the train/val split
+    (doc-keyed — chunks of one doc co-travel), mix_weights commits the
+    training mix over the TRAIN chunks with per-domain token/epoch
+    accounting in the summary; both resume on unchanged knobs and
+    rebuild when a knob moves; mismatched mix knobs are refused."""
+    filler = ("the story of it is on a hill and for the day it was a "
+              "good one in the end with plenty of additional words ")
+    rows = [(i, filler + " ".join(f"w{i}x{j}" for j in range(120)),
+             "en", "web" if i % 2 else "wiki") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    run_dir = str(tmp_path / "cur")
+    kw = dict(dup_ngram_max=None, dedup_threshold=1.01,
+              val_frac=0.25, mix_weights={"wiki": 3.0, "web": 1.0},
+              mix_budget_tokens=4000)
+
+    res = run_curation(spark, docs, run_dir, **kw)
+    split = res["split"]
+    assert res["summary"]["train_chunks"] + res["summary"]["val_chunks"] \
+        == res["summary"]["chunks"]
+    # every chunk of a doc lands on the same side
+    sides = (split.groupBy("doc_id")
+             .agg(F.count_distinct("split").alias("n")).collect())
+    assert all(r.n == 1 for r in sides)
+
+    mix = res["mix"]
+    md = res["summary"]["mix_domains"]
+    assert set(md) <= {"wiki", "web"}
+    # wiki's 3:1 weight over similar-sized pools → more wiki tokens and
+    # more epochs than web
+    assert md["wiki"]["tokens"] > md["web"]["tokens"]
+    assert md["wiki"]["epochs"] >= md["web"]["epochs"]
+    # the mix draws from TRAIN chunks only
+    val_ids = {(r.doc_id, r.chunk_idx) for r in
+               split.filter("split = 'val'")
+               .select("doc_id", "chunk_idx").collect()}
+    mix_ids = {(r.doc_id, r.chunk_idx) for r in
+               mix.select("doc_id", "chunk_idx").collect()}
+    assert not (mix_ids & val_ids)
+
+    res2 = run_curation(spark, docs, run_dir, **kw)
+    assert res2["resumed"]["split"] is True
+    assert res2["resumed"]["mix"] is True
+
+    # knob moves rebuild exactly the affected stage (and its dependents)
+    res3 = run_curation(spark, docs, run_dir, **{
+        **kw, "mix_weights": {"wiki": 1.0, "web": 1.0}})
+    assert res3["resumed"]["split"] is True
+    assert res3["resumed"]["mix"] is False
+    res4 = run_curation(spark, docs, run_dir, **{**kw, "val_frac": 0.5})
+    assert res4["resumed"]["split"] is False
+    assert res4["resumed"]["mix"] is False      # dep run_id changed
+
+    with pytest.raises(ValueError, match="mix_weights"):
+        run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                     dedup_threshold=1.01, mix_weights={"web": 1.0})
