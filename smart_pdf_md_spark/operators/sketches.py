@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -296,3 +296,127 @@ def log_histogram_quantiles(hist: DataFrame, qs: list[float],
                 break
         out[q] = val
     return out
+
+
+def bottomk_sample(df: DataFrame, k: int, key_cols: list[str] | None = None,
+                   salt: str = "bk_v1",
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """MERGEABLE uniform sample: the k rows whose keyed hash is smallest
+    (bottom-k / KMV sampling — the same order statistic the KMV distinct
+    sketch uses). Because min-of-hashes commutes with union, bottom-k of
+    a whole corpus ≡ :func:`bottomk_merge` of per-shard bottom-k's — a
+    committable, resumable uniform sample with NO RNG state, stable
+    across runs, partitionings, and cluster sizes (the
+    stratified_sample determinism contract, but for a fixed-SIZE sample
+    instead of a fixed rate).
+
+    Plan shape: hash is a scan-side Column; orderBy(limit k) compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, k-bounded, never a global sort shuffle. Ties beyond the hash
+    break on the key columns, so the result is a pure function of the
+    row SET. ``hash_fn="md5_48"`` swaps xxhash64 for the 48-bit
+    md5-prefix hash with a DuckDB twin (the text_fingerprint scheme) —
+    the oracle-able form."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cols = key_cols or df.columns
+    keyed = [F.col(c).cast("string") for c in cols]
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(*keyed, F.lit(salt))
+    elif hash_fn == "md5_48":
+        h = F.conv(F.substring(F.md5(
+            F.concat_ws("\x1f", *keyed, F.lit(salt))), 1, 12),
+            16, 10).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return (df.withColumn("bk_hash", h)
+            .orderBy("bk_hash", *cols).limit(k))
+
+
+def bottomk_merge(k: int, *samples: DataFrame) -> DataFrame:
+    """Union of shard samples → the k smallest again. Exactly the whole-
+    corpus bottom-k as long as every shard kept its own bottom-k (the
+    KMV merge property)."""
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    order = [c for c in out.columns if c != "bk_hash"]
+    return out.orderBy("bk_hash", *order).limit(k)
+
+
+def mg_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitters summary, the MERGEABLE form (Agarwal et
+    al., PODS 2012 "Mergeable Summaries"): ≤ k (key, est) rows where est
+    is a LOWER bound on the key's true count and true − est ≤ N/(k+1) —
+    every key with frequency > N/(k+1) is guaranteed present. The
+    bounded-state complement of Count-Min: CMS answers point queries
+    (over-estimates, needs the key), MG RETURNS the heavy keys
+    themselves, in k·(key+8B) of committable state regardless of corpus
+    size.
+
+    Shape: one mapInPandas pass runs classic k-counter MG per partition
+    (bounded memory, no shuffle of the raw stream), the ≤ k·partitions
+    partial rows reduce via groupBy-sum, and :func:`mg_compress` trims
+    back to k with the rank-(k+1) subtraction that preserves the bound.
+    Deterministic for a fixed input partitioning (MG is stream-order
+    dependent — the bounds hold for ANY order; tests pin bounds, size,
+    and presence, not exact counts)."""
+    from pyspark.sql import types as T
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    schema = T.StructType([
+        T.StructField("key", df.schema[key_col].dataType),
+        T.StructField("est", T.LongType())])
+
+    def per_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    dead = [kk for kk in counters
+                            if counters[kk] == 1]
+                    for kk in counters:
+                        counters[kk] -= 1
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({"key": list(counters.keys()),
+                            "est": list(counters.values())})
+
+    partials = df.select(key_col).mapInPandas(per_partition, schema)
+    return mg_compress(partials.groupBy("key")
+                       .agg(F.sum("est").alias("est")), k)
+
+
+def mg_compress(summary: DataFrame, k: int) -> DataFrame:
+    """Trim a (key, est) relation to ≤ k rows, preserving the MG error
+    bound: keep the k largest (ties by key), subtract the (k+1)-th
+    largest est from every kept row, drop ≤ 0. The relation is
+    summary-sized (≤ k·shards), so the single-partition rank window and
+    the 1-row threshold agg are sketch operations, never corpus ones."""
+    ranked = summary.withColumn(
+        "_r", F.row_number().over(Window.orderBy(F.desc("est"), "key")))
+    thr = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("_r") == k + 1, F.col("est"))),
+        F.lit(0).cast("long")).alias("_thr"))
+    return (ranked.crossJoin(F.broadcast(thr))
+            .filter(F.col("_r") <= k)
+            .withColumn("est", F.col("est") - F.col("_thr"))
+            .filter(F.col("est") > 0)
+            .select("key", "est"))
+
+
+def mg_merge(k: int, *summaries: DataFrame) -> DataFrame:
+    """Merge shard summaries: sum per key, compress to k. Error bounds
+    add: merged error ≤ Σ N_shard/(k+1) = N/(k+1)."""
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return mg_compress(out.groupBy("key").agg(F.sum("est").alias("est")),
+                       k)

@@ -682,6 +682,101 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
                            + 1e-9, 4)))
 
 
+# the published Gopher stop set (Rae et al. 2021 appendix A1.1): a doc
+# must contain at least min_stop_hits DISTINCT members
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The complete Gopher/MassiveWeb quality-rule battery (Rae et al.
+    2021, "Scaling Language Models: ...", appendix A1.1) as ONE scan-side
+    operator — the published rule set most pretraining pipelines quote
+    verbatim (also Penedo 2023 RefinedWeb, Soldaini 2024 Dolma). Per doc:
+    every metric, every per-rule verdict, and the conjunction:
+
+      (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       r_words, r_word_len, r_symbol, r_bullet, r_ellipsis, r_alpha,
+       r_stops, passes)
+
+    Rules (defaults = the paper's): 50 ≤ words ≤ 100k; mean word length
+    in [3, 10]; symbol-to-word ratio ('#' or ellipsis) ≤ 0.1; < 90% of
+    lines bullet-led; < 30% of lines ellipsis-ended; ≥ 80% of words
+    contain a letter; ≥ 2 distinct Gopher stop words present.
+
+    Emitting metrics AND verdicts (not just the filter) is deliberate:
+    threshold tuning reads the distributions without a recompute. Pure
+    Columns, zero exchanges — at 100 TB this rides the scan like
+    quality_cols; rounding follows the +1e-9 driver contract (DuckDB
+    parity pinned in tests; board-candidate SQL twin)."""
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks)
+    nw = F.when(n_words == 0, F.lit(None)).otherwise(
+        n_words.cast("double"))
+    mean_wl = F.aggregate(toks, F.lit(0).cast("bigint"),
+                          lambda a, t: a + F.length(t)) / nw
+    text = F.col(text_col)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = ((F.length(text) -
+              F.length(F.replace(text, F.lit("...")))) / F.lit(3) +
+             F.length(text) - F.length(F.replace(text, F.lit("…"))))
+    symbol_ratio = (n_hash + n_ell) / nw
+    lines = F.filter(F.transform(F.split(text, "\n"), F.trim),
+                     lambda ln: F.length(ln) > 0)
+    n_lines = F.when(F.size(lines) == 0, F.lit(None)).otherwise(
+        F.size(lines).cast("double"))
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("-") |
+        ln.startswith("*"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…"))) / n_lines
+    alpha_frac = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]"))) / nw
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+
+    m = {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": F.round(F.coalesce(mean_wl, F.lit(0.0)) + 1e-9, 4),
+        "symbol_ratio": F.round(F.coalesce(symbol_ratio, F.lit(0.0))
+                                + 1e-9, 4),
+        "bullet_frac": F.round(F.coalesce(bullet_frac, F.lit(0.0))
+                               + 1e-9, 4),
+        "ellipsis_frac": F.round(F.coalesce(ellipsis_frac, F.lit(0.0))
+                                 + 1e-9, 4),
+        "alpha_frac": F.round(F.coalesce(alpha_frac, F.lit(0.0)) + 1e-9, 4),
+        "stop_hits": stop_hits.cast("int"),
+    }
+    out = df.select(F.col(id_col).alias("id"),
+                    *[v.alias(k) for k, v in m.items()])
+    rules = {
+        "r_words": (F.col("n_words") >= min_words) &
+                   (F.col("n_words") <= max_words),
+        "r_word_len": (F.col("mean_word_len") >= min_mean_word_len) &
+                      (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_bullet": F.col("bullet_frac") <= max_bullet_frac,
+        "r_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "r_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "r_stops": F.col("stop_hits") >= min_stop_hits,
+    }
+    out = out.select("*", *[v.alias(k) for k, v in rules.items()])
+    passes = None
+    for k in rules:
+        passes = F.col(k) if passes is None else passes & F.col(k)
+    return out.withColumn("passes", passes)
+
+
 def train_val_split(docs: DataFrame, clusters: DataFrame | None = None,
                     val_frac: float = 0.1, id_col: str = "doc_id",
                     salt: str = "split_v1") -> DataFrame:

@@ -303,3 +303,88 @@ def test_ppl_buckets_bigram_model_demotes_word_salad(spark):
         ppl_buckets(docs, model="bigram", postings=docs)
     with pytest.raises(ValueError, match="unknown model"):
         ppl_buckets(docs, model="trigram")
+
+
+def test_domain_divergence_numpy_and_duckdb_parity(spark):
+    """KL(P_domain || P_corpus): a domain sampled from the corpus head
+    scores near 0, a disjoint-vocabulary domain scores far higher; the
+    absent-word decomposition equals a brute-force numpy KL over the
+    full vocabulary (1e-9), and the same decomposition in DuckDB matches
+    bit-for-bit (board-candidate SQL twin)."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.lm import domain_divergence
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common, "typical") for i in range(8)]
+    rows += [(100 + i, common + f" extra{i} words{i}", "near") for i in range(4)]
+    rows += [(200 + i, " ".join(f"alien{i}x{j}" for j in range(12)), "far")
+             for i in range(4)]
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    docs = spark.createDataFrame(docs_pd)
+    sm = 0.5
+
+    got = {r.domain: r for r in domain_divergence(docs, smooth=sm).collect()}
+    assert got["typical"].kl < got["near"].kl < got["far"].kl
+    assert got["typical"].kl < 0.05
+
+    # brute-force numpy KL over the FULL vocabulary
+    from collections import Counter
+    all_c: Counter = Counter()
+    dom_c: dict = {}
+    for _, text, dom in rows:
+        toks = text.split()
+        all_c.update(toks)
+        dom_c.setdefault(dom, Counter()).update(toks)
+    vocab = sorted(all_c)
+    v, n_tot = len(vocab), sum(all_c.values())
+    pw = np.array([(all_c[w] + sm) / (n_tot + sm * v) for w in vocab])
+    for dom, c in dom_c.items():
+        n_d = sum(c.values())
+        pd_arr = np.array([(c[w] + sm) / (n_d + sm * v) for w in vocab])
+        want = float((pd_arr * (np.log(pd_arr) - np.log(pw))).sum())
+        assert abs(got[dom].kl - round(want + 1e-9, 4)) <= 1e-4, dom
+        assert got[dom].n_tokens == n_d
+
+    con = duckdb.connect()
+    con.register("docs", docs_pd)
+    want_df = con.execute(rf"""
+    WITH toks AS (
+      SELECT source AS domain, unnest(regexp_split_to_array(trim(text),
+             '\s+')) AS word
+      FROM docs WHERE length(trim(text)) > 0
+    ), dw AS (
+      SELECT domain, word, count(*) AS c_dw FROM toks GROUP BY 1, 2
+    ), vocab AS (SELECT word, sum(c_dw) AS c_w FROM dw GROUP BY word),
+    dn AS (SELECT domain, sum(c_dw) AS n_d, count(*) AS n_types
+           FROM dw GROUP BY domain),
+    tot AS (SELECT sum(c_w) AS n_tot, count(*) AS v FROM vocab),
+    pw AS (SELECT word, ln((c_w + {sm}) / (n_tot + {sm} * v)) AS ln_pw
+           FROM vocab CROSS JOIN tot),
+    sall AS (SELECT sum(ln_pw) AS s_all FROM pw),
+    pres AS (
+      SELECT domain,
+             sum(((c_dw + {sm}) / (n_d + {sm} * v)) *
+                 (ln((c_dw + {sm}) / (n_d + {sm} * v)) - ln_pw))
+               AS kl_present,
+             sum(ln_pw) AS s_present, count(*) AS n_present
+      FROM dw JOIN pw USING (word) JOIN dn USING (domain) CROSS JOIN tot
+      GROUP BY domain
+    )
+    SELECT domain, CAST(n_d AS BIGINT) AS n_tokens,
+           CAST(n_types AS INT) AS n_types,
+           round(kl_present +
+                 ({sm} / (n_d + {sm} * v)) *
+                 ((v - n_present) * ln({sm} / (n_d + {sm} * v))
+                  - (s_all - s_present)) + 1e-9, 4) AS kl
+    FROM dn JOIN pres USING (domain) CROSS JOIN tot CROSS JOIN sall
+    ORDER BY domain
+    """).df()
+    got_df = (domain_divergence(docs, smooth=sm).toPandas()
+              .sort_values("domain").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)

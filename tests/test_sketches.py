@@ -227,3 +227,97 @@ def test_log_histogram_quantiles_relative_error_and_merge(spark):
     got_z = log_histogram_quantiles(hz, [0.3, 0.99], k=k)
     assert got_z[0.3] == 0.0                       # zeros rank first
     assert abs(got_z[0.99] - 8.0) / 8.0 <= tol
+
+
+def test_bottomk_sample_merge_and_determinism(spark):
+    """Bottom-k/KMV sampling: the k smallest keyed hashes form a uniform
+    sample that MERGES — whole-corpus bottom-k ≡ merge of per-shard
+    bottom-k's, exactly; the sample is a pure function of the row set
+    (partitioning-invariant); md5_48 variant matches a DuckDB
+    recomputation row for row (the oracle-able form)."""
+    import duckdb
+    import pandas as pd
+
+    from smart_pdf_md_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+    )
+
+    rows = [(i, f"doc text number {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 50
+
+    whole = bottomk_sample(df, k, key_cols=["doc_id"])
+    got = [tuple(r) for r in whole.collect()]
+    assert len(got) == k
+    got16 = [tuple(r) for r in
+             bottomk_sample(df.repartition(16), k,
+                            key_cols=["doc_id"]).collect()]
+    assert got == got16                    # pure function of the set
+
+    a = bottomk_sample(df.filter("doc_id < 1000"), k, key_cols=["doc_id"])
+    b = bottomk_sample(df.filter("doc_id >= 1000"), k, key_cols=["doc_id"])
+    merged = [tuple(r) for r in bottomk_merge(k, a, b).collect()]
+    assert merged == got                   # KMV merge property
+
+    # uniformity smoke: the sampled ids are spread, not clustered
+    ids = sorted(r[0] for r in got)
+    assert ids[0] < 200 and ids[-1] > 1800
+
+    # oracle-able md5_48 variant vs DuckDB
+    pd_df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pd_df)
+    want = con.execute(r"""
+    SELECT doc_id, text,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                || 'bk_v1'), 1, 12) AS BIGINT) AS bk_hash
+    FROM docs ORDER BY bk_hash, doc_id LIMIT 50
+    """).df()
+    got_md5 = (bottomk_sample(df, k, key_cols=["doc_id"],
+                              hash_fn="md5_48")
+               .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_md5, want, check_dtype=False)
+
+
+def test_mg_heavy_hitters_bounds_and_merge(spark):
+    """Misra-Gries summary: ≤ k rows; every estimate is a lower bound
+    within N/(k+1) of truth; every key with true count > N/(k+1) is
+    present; shard summaries merge with the additive bound."""
+    from smart_pdf_md_spark.operators.sketches import mg_merge, mg_summary
+
+    # zipf-ish: key j appears ~ 3000/j times, plus a long singleton tail
+    rows = []
+    for j in range(1, 21):
+        rows += [(f"hot{j}",)] * (3000 // j)
+    rows += [(f"tail{i}",) for i in range(4000)]
+    import random
+    random.Random(5).shuffle(rows)
+    df = spark.createDataFrame(rows, ["tok"]).repartition(8)
+    n = len(rows)
+    truth = {}
+    for (t,) in rows:
+        truth[t] = truth.get(t, 0) + 1
+
+    k = 32
+    summ = {r.key: r.est for r in mg_summary(df, "tok", k).collect()}
+    assert len(summ) <= k
+    bound = n / (k + 1)
+    for key, est in summ.items():
+        assert est <= truth[key]                  # lower bound
+        assert truth[key] - est <= bound + 1e-9   # MG guarantee
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in summ, (key, cnt, bound)
+
+    # shard-merge keeps the additive bound
+    s1 = mg_summary(df.filter(F.xxhash64("tok") % 2 == 0), "tok", k)
+    s2 = mg_summary(df.filter(F.xxhash64("tok") % 2 == 1), "tok", k)
+    merged = {r.key: r.est for r in mg_merge(k, s1, s2).collect()}
+    assert len(merged) <= k
+    for key, est in merged.items():
+        assert est <= truth[key]
+        assert truth[key] - est <= 2 * bound + 1e-9
+    for key, cnt in truth.items():
+        if cnt > 2 * bound:
+            assert key in merged
