@@ -535,6 +535,54 @@ def adaptive_quality_filter(df: DataFrame, frac: float = 0.8,
             .filter(F.col("q_rank") <= frac))
 
 
+def adaptive_quality_filter_sketch(df: DataFrame, frac: float = 0.8,
+                                   by: str = "lang",
+                                   text_col: str = "text",
+                                   k: int = 64) -> DataFrame:
+    """:func:`adaptive_quality_filter` for the 100 TB regime — SAME
+    contract (keep the top ``frac`` of every stratum by quality) without
+    the exact form's per-stratum percent_rank SORT of the whole corpus
+    (a single-key sort per giant language). Instead: one map-side-
+    combinable log-histogram agg per stratum (≤ k·64+1 buckets — the
+    sketches.log_histogram bucketing), a histogram-sized window walk to
+    the per-stratum cut bucket, and a broadcast join + stream filter.
+    Two corpus scans, zero corpus sorts, and the histogram state is
+    committable/mergeable for incremental callers.
+
+    Approximation is BUCKET-granular: the whole cut bucket is kept, so
+    the kept fraction lands in [frac, frac + cut-bucket mass] and the
+    effective quality threshold is within relative 2^(1/k) − 1 of the
+    exact cut (~1.1% at the default k=64). Dominance is preserved
+    exactly at bucket granularity: no kept doc scores below a dropped
+    doc of the same stratum by more than one bucket. Emits ``quality``
+    and the stratum's ``q_cut`` (kept iff quality ≥ q_cut, bucket lower
+    edge) for audit."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    from .sketches import _LOG_MIN_BUCKET
+
+    q = quality_cols(F.col(text_col))["quality"]
+    scored = df.withColumn("quality", q)
+    bucket = F.when(F.col("quality") <= 0, F.lit(_LOG_MIN_BUCKET)) \
+        .otherwise(F.floor(F.lit(k) * F.log2("quality")).cast("long"))
+    scored = scored.withColumn("_b", bucket)
+    hist = scored.groupBy(by, "_b").agg(F.count("*").alias("_cnt"))
+    w_desc = (Window.partitionBy(by).orderBy(F.desc("_b"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(by)
+    cuts = (hist
+            .withColumn("_cum", F.sum("_cnt").over(w_desc))
+            .withColumn("_tot", F.sum("_cnt").over(w_all))
+            .filter(F.col("_cum") >= F.ceil(F.lit(frac) * F.col("_tot")))
+            .groupBy(by).agg(F.max("_b").alias("_cut_b")))
+    q_cut = F.when(F.col("_cut_b") == _LOG_MIN_BUCKET, F.lit(0.0)) \
+        .otherwise(F.pow(F.lit(2.0), F.col("_cut_b") / F.lit(k)))
+    return (scored.join(F.broadcast(cuts), by)
+            .filter(F.col("_b") >= F.col("_cut_b"))
+            .withColumn("q_cut", F.round(q_cut + 1e-9, 4))
+            .drop("_b", "_cut_b"))
+
+
 def pack_sequences(chunks: DataFrame, budget_tokens: int = 2048,
                    n_buckets: int = 1024,
                    len_col: str = "chunk_len") -> DataFrame:

@@ -397,3 +397,76 @@ def test_k_truss_vs_python_peeling(spark):
     # the planted K5 is exactly a 5-truss core
     t5 = _py_k_truss(edge_list, 5)
     assert {(a, b) for a in clique for b in clique if a < b} <= set(t5)
+
+
+def test_adaptive_quality_filter_sketch_tracks_exact(spark):
+    """The sketch form (no per-stratum corpus sort): kept fraction per
+    stratum lands in [frac, frac + cut-bucket mass]; bucket-granular
+    dominance (no kept doc a full bucket below a dropped doc of its
+    stratum); partition-invariant; the plan has no corpus-sized Sort."""
+    import io
+    from contextlib import redirect_stdout
+
+    import random
+
+    from smart_pdf_md_spark.operators.textstats import (
+        adaptive_quality_filter,
+        adaptive_quality_filter_sketch,
+    )
+
+    rng = random.Random(11)
+    stops = "the of and to in it is was for on".split()
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 2 else "de"
+        # graded quality: longer + stopword-richer as i grows
+        n_stop = 1 + (i % 40)
+        body = " ".join(rng.choice(stops) for _ in range(n_stop)) + " " + \
+            " ".join(f"w{i}x{j}" for j in range(5 + (i % 60)))
+        rows.append((i, body, lang))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    frac, k = 0.8, 64
+    got = adaptive_quality_filter_sketch(docs, frac=frac, k=k)
+    kept = got.select("doc_id", "lang", "quality", "q_cut").collect()
+    n_by = {lg: sum(1 for _, t, l in rows if l == lg) for lg in ("en", "de")}
+    kept_by: dict = {}
+    for r in kept:
+        kept_by.setdefault(r.lang, []).append(r)
+        assert r.quality >= r.q_cut or r.quality <= 0
+    for lg, rs in kept_by.items():
+        f = len(rs) / n_by[lg]
+        assert frac - 1e-9 <= f <= 1.0
+    # bucket-granular agreement with the exact form: everything the
+    # exact filter keeps, the sketch keeps too (it cuts at or below the
+    # exact threshold's bucket floor)
+    exact_ids = {r.doc_id for r in
+                 adaptive_quality_filter(docs, frac=frac).collect()}
+    sketch_ids = {r.doc_id for r in kept}
+    assert exact_ids <= sketch_ids
+    # and the overshoot is bounded by the cut bucket's mass: within each
+    # stratum no kept doc sits more than one bucket below the exact cut
+    import math
+    for lg, rs in kept_by.items():
+        exact_min = min(r.quality for r in kept if r.lang == lg and
+                        r.doc_id in exact_ids)
+        for r in rs:
+            if r.quality > 0:
+                assert (math.floor(k * math.log2(r.quality)) >=
+                        math.floor(k * math.log2(exact_min)) - 1)
+
+    got16 = {r.doc_id for r in adaptive_quality_filter_sketch(
+        docs.repartition(16), frac=frac, k=k).collect()}
+    assert got16 == sketch_ids                     # partition-invariant
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        adaptive_quality_filter_sketch(docs, frac=frac, k=k) \
+            .explain("formatted")
+    plan = buf.getvalue()
+    # the histogram walk may sort its (strata x buckets) relation; the
+    # corpus stream itself must reach the filter sort-free. The exact
+    # form's WindowExec over the full corpus is what we are avoiding —
+    # assert no window function consumes the corpus-sized relation (the
+    # only Window here partitions the bucket histogram).
+    assert "percent_rank" not in plan
