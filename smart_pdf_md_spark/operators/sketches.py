@@ -336,12 +336,15 @@ def bottomk_sample(df: DataFrame, k: int, key_cols: list[str] | None = None,
 def bottomk_merge(k: int, *samples: DataFrame) -> DataFrame:
     """Union of shard samples → the k smallest again. Exactly the whole-
     corpus bottom-k as long as every shard kept its own bottom-k (the
-    KMV merge property)."""
+    KMV merge property). Inputs dedupe first — KMV is an order statistic
+    of the row SET, so merging overlapping shards (or replaying the same
+    batch, the streaming case) is idempotent; the union is k-bounded per
+    input, so the distinct is sketch-sized."""
     out = samples[0]
     for s in samples[1:]:
         out = out.unionByName(s)
     order = [c for c in out.columns if c != "bk_hash"]
-    return out.orderBy("bk_hash", *order).limit(k)
+    return out.dropDuplicates().orderBy("bk_hash", *order).limit(k)
 
 
 def mg_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:

@@ -735,6 +735,73 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_cols(text: Column) -> dict[str, Column]:
+    """The Gopher metric expressions alone (rounded per the driver
+    contract) — scan-side Columns so a filter stage composes them into
+    ONE select with its other score families (the build_filtered
+    discipline). :func:`gopher_rules` builds its relation from these."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    nw = F.when(n_words == 0, F.lit(None)).otherwise(
+        n_words.cast("double"))
+    mean_wl = F.aggregate(toks, F.lit(0).cast("bigint"),
+                          lambda a, t: a + F.length(t)) / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = ((F.length(text) -
+              F.length(F.replace(text, F.lit("...")))) / F.lit(3) +
+             F.length(text) - F.length(F.replace(text, F.lit("…"))))
+    symbol_ratio = (n_hash + n_ell) / nw
+    lines = F.filter(F.transform(F.split(text, "\n"), F.trim),
+                     lambda ln: F.length(ln) > 0)
+    n_lines = F.when(F.size(lines) == 0, F.lit(None)).otherwise(
+        F.size(lines).cast("double"))
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("-") |
+        ln.startswith("*"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…"))) / n_lines
+    alpha_frac = F.size(F.filter(
+        toks, lambda t: t.rlike("[A-Za-z]"))) / nw
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": F.round(F.coalesce(mean_wl, F.lit(0.0)) + 1e-9, 4),
+        "symbol_ratio": F.round(F.coalesce(symbol_ratio, F.lit(0.0))
+                                + 1e-9, 4),
+        "bullet_frac": F.round(F.coalesce(bullet_frac, F.lit(0.0))
+                               + 1e-9, 4),
+        "ellipsis_frac": F.round(F.coalesce(ellipsis_frac, F.lit(0.0))
+                                 + 1e-9, 4),
+        "alpha_frac": F.round(F.coalesce(alpha_frac, F.lit(0.0)) + 1e-9, 4),
+        "stop_hits": stop_hits.cast("int"),
+    }
+
+
+def gopher_passes_col(text: Column,
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3,
+                      min_alpha_frac: float = 0.8,
+                      min_stop_hits: int = 2) -> Column:
+    """The full Gopher conjunction as one scan-side boolean Column —
+    thresholds applied to the same rounded metrics gopher_rules emits,
+    so filter-stage behavior matches the audit relation exactly."""
+    m = gopher_cols(text)
+    return ((m["n_words"] >= min_words) & (m["n_words"] <= max_words) &
+            (m["mean_word_len"] >= min_mean_word_len) &
+            (m["mean_word_len"] <= max_mean_word_len) &
+            (m["symbol_ratio"] <= max_symbol_ratio) &
+            (m["bullet_frac"] <= max_bullet_frac) &
+            (m["ellipsis_frac"] <= max_ellipsis_frac) &
+            (m["alpha_frac"] >= min_alpha_frac) &
+            (m["stop_hits"] >= min_stop_hits))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  min_words: int = 50, max_words: int = 100_000,
@@ -766,45 +833,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     Columns, zero exchanges — at 100 TB this rides the scan like
     quality_cols; rounding follows the +1e-9 driver contract (DuckDB
     parity pinned in tests; board-candidate SQL twin)."""
-    toks = tokens_col(F.col(text_col))
-    n_words = F.size(toks)
-    nw = F.when(n_words == 0, F.lit(None)).otherwise(
-        n_words.cast("double"))
-    mean_wl = F.aggregate(toks, F.lit(0).cast("bigint"),
-                          lambda a, t: a + F.length(t)) / nw
-    text = F.col(text_col)
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
-    n_ell = ((F.length(text) -
-              F.length(F.replace(text, F.lit("...")))) / F.lit(3) +
-             F.length(text) - F.length(F.replace(text, F.lit("…"))))
-    symbol_ratio = (n_hash + n_ell) / nw
-    lines = F.filter(F.transform(F.split(text, "\n"), F.trim),
-                     lambda ln: F.length(ln) > 0)
-    n_lines = F.when(F.size(lines) == 0, F.lit(None)).otherwise(
-        F.size(lines).cast("double"))
-    bullet_frac = F.size(F.filter(
-        lines, lambda ln: ln.startswith("•") | ln.startswith("-") |
-        ln.startswith("*"))) / n_lines
-    ellipsis_frac = F.size(F.filter(
-        lines, lambda ln: ln.endswith("...") | ln.endswith("…"))) / n_lines
-    alpha_frac = F.size(F.filter(
-        toks, lambda t: t.rlike("[A-Za-z]"))) / nw
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(F.transform(toks, F.lower)),
-        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
-
-    m = {
-        "n_words": n_words.cast("int"),
-        "mean_word_len": F.round(F.coalesce(mean_wl, F.lit(0.0)) + 1e-9, 4),
-        "symbol_ratio": F.round(F.coalesce(symbol_ratio, F.lit(0.0))
-                                + 1e-9, 4),
-        "bullet_frac": F.round(F.coalesce(bullet_frac, F.lit(0.0))
-                               + 1e-9, 4),
-        "ellipsis_frac": F.round(F.coalesce(ellipsis_frac, F.lit(0.0))
-                                 + 1e-9, 4),
-        "alpha_frac": F.round(F.coalesce(alpha_frac, F.lit(0.0)) + 1e-9, 4),
-        "stop_hits": stop_hits.cast("int"),
-    }
+    m = gopher_cols(F.col(text_col))
     out = df.select(F.col(id_col).alias("id"),
                     *[v.alias(k) for k, v in m.items()])
     rules = {

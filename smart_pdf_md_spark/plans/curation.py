@@ -49,6 +49,7 @@ from ..operators.textstats import (
     cap_per_group,
     chunk_documents,
     compression_ratio_col,
+    gopher_passes_col,
     mix_corpus,
     quality_cols,
     repetition_cols,
@@ -69,6 +70,7 @@ def run_curation(
     dup_line_max: float = 0.5,
     dup_ngram_max: float | None = 0.8,
     max_compression_ratio: float | None = None,
+    gopher: bool = False,
     dedup_threshold: float = 0.9,
     fractions: dict | None = None,
     max_per_source: int | None = None,
@@ -127,7 +129,11 @@ def run_curation(
     predicate (textstats.compression_ratio_col — docs whose deflate ratio
     exceeds it are template/boilerplate beyond what the 3-gram window
     sees); the score rides the SAME single scan projection as the other
-    families (ArrowEvalPython, still no shuffle/join). ``ppl_keep``
+    families (ArrowEvalPython, still no shuffle/join). ``gopher=True``
+    adds the complete Rae et al. 2021 A1.1 rule battery to the same
+    predicate (textstats.gopher_passes_col — word-count band, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stop-word hits), still one scan. ``ppl_keep``
     (e.g. ``("head", "middle")``) enables the CCNet bucket stage between
     filter/clean and dedup: documents are scored by the corpus' own
     unigram LM and only the named per-``ppl_by`` perplexity buckets
@@ -278,6 +284,10 @@ def run_curation(
         }
         if max_compression_ratio is not None:
             score_exprs["compression_ratio"] = compression_ratio_col(text)
+        if gopher:
+            # the full Rae 2021 A1.1 battery rides the SAME select —
+            # still one scan, zero extra exchanges
+            score_exprs["gopher_passes"] = gopher_passes_col(text)
         scored = filter_input.select(
             "*", *[v.alias(k) for k, v in score_exprs.items()])
         # n_tokens >= 1: an empty/whitespace doc scores quality exactly 0.3
@@ -291,6 +301,8 @@ def run_curation(
         if max_compression_ratio is not None:
             keep = keep & (F.col("compression_ratio")
                            <= max_compression_ratio)
+        if gopher:
+            keep = keep & F.col("gopher_passes")
         kept = scored.filter(keep)
         if fractions:
             kept = stratified_sample(kept, "lang", fractions)
@@ -306,6 +318,7 @@ def run_curation(
                 "dup_ngram_max": dup_ngram_max, "fractions": fractions,
                 "max_compression_ratio": max_compression_ratio,
                 "max_per_source": max_per_source,
+                "gopher": gopher,
                 "domain_col": domain_col if max_per_source is not None
                 else None})
     _note("filtered")

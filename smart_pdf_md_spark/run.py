@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] Gopher duplicate-3-gram cut; pass a "
                          "value >= 1 to disable")
     ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--gopher", action="store_true",
+                    help="[curate] add the full Gopher/MassiveWeb rule "
+                         "battery (Rae 2021 A1.1) to the filter stage")
     ap.add_argument("--dedup-lines", action="store_true",
                     help="[curate] CCNet corpus-wide line dedup before "
                          "quality scoring")
@@ -293,6 +296,7 @@ def _run_curate(args) -> int:
         res = run_curation(
             spark, docs, args.run_dir,
             quality_min=args.quality_min, dup_line_max=args.dup_line_max,
+            gopher=args.gopher,
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
             benchmarks=bench,
             decontam_via=args.decontam_via, dedup_lines=args.dedup_lines,

@@ -10,6 +10,13 @@ as every other pipeline here):
     stream_cands  heavy-hitter CANDIDATE keys: the union of each
                   micro-batch's exact local top-k (the practical
                   SpaceSaving compromise — CMS alone cannot enumerate)
+    stream_mg     (key, est) Misra-Gries summary — bounded-state heavy
+                  hitters with the lower-bound + N/(k+1) guarantee,
+                  merged per batch (additive → epoch-guarded like CMS)
+    stream_bk     bottom-k/KMV uniform sample of distinct keys ever
+                  seen — a fixed-size random sample of the stream that
+                  never re-reads history (KMV merge; idempotent under
+                  replay since the merge dedupes the row set)
 
 Exactly-once discipline (streaming/incremental.py): the streaming
 checkpoint stops source data from re-entering, and every foreachBatch
@@ -34,22 +41,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import (
+    bottomk_merge,
+    bottomk_sample,
     cms_merge,
     cms_query,
     cms_table,
     hll_estimate,
     hll_merge,
     hll_registers,
+    mg_merge,
+    mg_summary,
 )
 from .incremental import REPO_FILES_SCHEMA  # noqa: F401  (re-export for callers)
 
 _HLL, _CMS, _CANDS = "stream_hll", "stream_cms", "stream_cands"
+_MG, _BK = "stream_mg", "stream_bk"
 
 
 def run_sketch_stream(stream_df: DataFrame, run_dir: str,
                       checkpoint_dir: str, key_cols: list[str],
                       d: int = 4, w: int = 1024, p: int = 12,
-                      batch_topk: int = 32, once: bool = True):
+                      batch_topk: int = 32, mg_k: int = 64,
+                      bk_k: int = 256, once: bool = True):
     """Start (and with once=True, drain) the sketch-maintenance query over
     a streaming DataFrame. Per micro-batch: merge the batch's HLL
     registers (max), add its CMS counts (sum, epoch-idempotent), and union
@@ -99,6 +112,29 @@ def run_sketch_stream(stream_df: DataFrame, run_dir: str,
                 top = top.unionByName(
                     read_stage(spark, run_dir, _CANDS)).distinct()
             commit_stage(top.coalesce(1), run_dir, _CANDS,
+                         key_cols, run_id=rid)
+
+        # Misra-Gries: additive merge -> the epoch guard makes replay
+        # exactly-once, same as CMS; state stays <= mg_k rows
+        if stage_run_id(run_dir, _MG) != rid:
+            key = (keys.select(F.concat_ws("\x1f", *key_cols)
+                               .alias("mg_key"))
+                   if len(key_cols) > 1 else
+                   keys.select(F.col(key_cols[0]).alias("mg_key")))
+            mg = mg_summary(key, "mg_key", mg_k)
+            if stage_committed(run_dir, _MG):
+                mg = mg_merge(mg_k, read_stage(spark, run_dir, _MG), mg)
+            commit_stage(mg.coalesce(1), run_dir, _MG,
+                         ["key"], run_id=rid)
+
+        # bottom-k sample: KMV merge over the distinct-key set — the
+        # merge dedupes, so replay is idempotent by construction
+        if stage_run_id(run_dir, _BK) != rid:
+            bk = bottomk_sample(keys.distinct(), bk_k, key_cols=key_cols)
+            if stage_committed(run_dir, _BK):
+                bk = bottomk_merge(bk_k, read_stage(spark, run_dir, _BK),
+                                   bk)
+            commit_stage(bk.coalesce(1), run_dir, _BK,
                          key_cols, run_id=rid)
 
     writer = (stream_df.writeStream.outputMode("append")

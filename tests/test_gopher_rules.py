@@ -98,3 +98,35 @@ def test_gopher_rules_duckdb_parity(spark):
                    "stop_hits")
            .toPandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_curation_gopher_knob(spark, tmp_path):
+    """gopher=True adds the full rule battery to the filter stage's one
+    select: a doc failing only a Gopher rule (stop-word-free) drops; the
+    knob participates in the params digest (flip rebuilds); default off
+    keeps prior behavior."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    good = ("the story of it is on a hill and that day we have been " +
+            " ".join(f"word{i} with more" for i in range(20)))
+    # passes the basic quality score (long, low punct) but has ZERO
+    # Gopher stop words -> only the battery catches it
+    sneaky = " ".join(f"w{i} x{i} y{i} z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, sneaky, "en")], ["doc_id", "text", "lang"])
+
+    run_dir = str(tmp_path / "cur")
+    base = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01)
+    assert base["summary"]["after_filter"] == 2       # default: both pass
+
+    res = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01, gopher=True)
+    assert res["resumed"]["filtered"] is False        # knob -> rebuild
+    ids = {r.doc_id for r in res["filtered"].select("doc_id").collect()}
+    assert ids == {1}
+    assert res["summary"]["after_filter"] == 1
+
+    res2 = run_curation(spark, docs, run_dir, dup_ngram_max=None,
+                        dedup_threshold=1.01, gopher=True)
+    assert res2["resumed"]["filtered"] is True

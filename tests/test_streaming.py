@@ -150,3 +150,66 @@ def test_sketch_stream_fresh_checkpoint_same_run_dir_merges(spark, tmp_path):
           for r in heavy_hitters(spark, run_dir, ["key"],
                                  min_count=100).collect()}
     assert hh.get("alpha", 0) >= 120 and hh.get("beta", 0) >= 200
+
+
+def test_sketch_stream_mg_and_bottomk_stages(spark, tmp_path):
+    """r9: the stream also maintains a Misra-Gries summary (bounded
+    heavy-hitter state with the lower-bound guarantee) and a bottom-k/KMV
+    uniform sample; re-drains with no new data change neither (epoch
+    guard / KMV idempotence); a second batch merges in and the sample
+    equals the batch-free recompute over the union."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from smart_pdf_md_spark.operators.sketches import bottomk_sample
+    from smart_pdf_md_spark.plans.manifests import read_stage
+    from smart_pdf_md_spark.streaming.sketch_stream import run_sketch_stream
+
+    src = str(tmp_path / "keys")
+    ckpt = str(tmp_path / "ckpt")
+    run_dir = str(tmp_path / "state")
+    os.makedirs(src)
+    a = pd.DataFrame({"key": ["hot"] * 300 +
+                      [f"tail{i}" for i in range(200)]})
+    a.to_parquet(os.path.join(src, "a.parquet"), index=False)
+    schema = T.StructType([T.StructField("key", T.StringType())])
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_sketch_stream(stream, run_dir, ckpt, ["key"], mg_k=16,
+                          bk_k=50, once=True)
+
+    drain()
+    mg = {r.key: r.est
+          for r in read_stage(spark, run_dir, "stream_mg").collect()}
+    assert len(mg) <= 16
+    assert "hot" in mg and mg["hot"] <= 300          # lower bound
+    assert 300 - mg["hot"] <= 500 / 17 + 1e-9        # N/(k+1)
+    bk1 = sorted(tuple(r) for r in
+                 read_stage(spark, run_dir, "stream_bk").collect())
+    assert len(bk1) == 50
+
+    drain()                                           # no new data
+    mg2 = {r.key: r.est
+           for r in read_stage(spark, run_dir, "stream_mg").collect()}
+    bk2 = sorted(tuple(r) for r in
+                 read_stage(spark, run_dir, "stream_bk").collect())
+    assert mg2 == mg and bk2 == bk1                   # idempotent
+
+    b = pd.DataFrame({"key": ["hot"] * 100 +
+                      [f"late{i}" for i in range(150)]})
+    b.to_parquet(os.path.join(src, "b.parquet"), index=False)
+    drain()
+    mg3 = {r.key: r.est
+           for r in read_stage(spark, run_dir, "stream_mg").collect()}
+    assert mg3["hot"] > mg["hot"]                     # second batch merged
+    bk3 = sorted(tuple(r) for r in
+                 read_stage(spark, run_dir, "stream_bk").collect())
+    # KMV: the merged stream sample equals the batch-free recompute over
+    # the union of distinct keys ever seen
+    allkeys = spark.createDataFrame(
+        pd.DataFrame({"key": ["hot"] + [f"tail{i}" for i in range(200)] +
+                      [f"late{i}" for i in range(150)]}))
+    want = sorted(tuple(r) for r in
+                  bottomk_sample(allkeys, 50, key_cols=["key"]).collect())
+    assert bk3 == want
