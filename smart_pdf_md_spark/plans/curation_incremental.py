@@ -61,6 +61,7 @@ from ..operators.textstats import (
     repetition_cols,
     scrub_cols,
     token_count_cols,
+    train_val_split,
 )
 from ..streaming.graph_stats import update_cc_state
 from .manifests import commit_stage, read_stage, stage_committed
@@ -157,6 +158,7 @@ def curate_append(
     dedup_lines: bool = False,
     chunk_tokens: int = 100,
     overlap: int = 20,
+    val_frac: float | None = None,
 ) -> dict:
     """Process one batch of docs(doc_id, text, lang); returns exact batch
     accounting plus the cumulative kept/chunk counts. Idempotent: docs in
@@ -171,7 +173,14 @@ def curate_append(
     replays exclude their own contributions exactly like cur_bands
     (first-seen wins, immutable history, no retraction). The knob must
     stay constant for a run_dir's lifetime (append-only state has no
-    params-digest rebuild)."""
+    params-digest rebuild).
+
+    ``val_frac`` commits the leakage-safe train/val ``split`` column on
+    every appended chunk (r9 terminal-stage parity with run_curation):
+    the assignment is a pure id-hash function, so it is CONSISTENT
+    across batches by construction — a doc appended in batch 7 lands on
+    the same side it would have in batch 0, and every chunk of a doc
+    co-travels. Same lifetime rule as the other append-only knobs."""
     batch_in = docs.count()
     pending = docs.select("doc_id", "text", "lang")
     if stage_committed(run_dir, _DONE):
@@ -332,9 +341,13 @@ def curate_append(
                 .repartition(8, "band", "band_hash"),
                 _BANDS, ["doc_id", "band"])
     _append_new(new_kept.select("doc_id", "lang"), _KEPT, ["doc_id"])
-    _append_new(chunk_documents(new_kept, chunk_tokens=chunk_tokens,
-                                overlap=overlap),
-                _CHUNKS, ["doc_id", "chunk_idx"])
+    batch_chunks = chunk_documents(new_kept, chunk_tokens=chunk_tokens,
+                                   overlap=overlap)
+    if val_frac is not None:
+        batch_chunks = train_val_split(batch_chunks, val_frac=val_frac)
+        summary["batch_val_chunks"] = \
+            batch_chunks.filter("split = 'val'").count()
+    _append_new(batch_chunks, _CHUNKS, ["doc_id", "chunk_idx"])
     # corpus telemetry: a mergeable HLL of every quality-passing content
     # hash ever seen (operators/sketches.py) — "how much DISTINCT content
     # has this pipeline ingested" answered in one agg over a KB-sized

@@ -264,3 +264,42 @@ def test_incremental_line_dedup_across_batches(spark, tmp_path):
     # and the state holds each (doc_id, line_hash) once
     lines = read_stage(spark, run_dir, "cur_lines")
     assert lines.count() == lines.distinct().count()
+
+
+def test_curate_append_val_frac_split_is_cross_batch_consistent(
+        spark, tmp_path):
+    """val_frac in the append-only pipeline: every appended chunk carries
+    the split column; the assignment is a pure id-hash function, so a doc
+    appended in a LATER batch lands exactly where a fresh whole-corpus
+    run would put it, and all chunks of a doc co-travel."""
+    from pyspark.sql import functions as F
+
+    from smart_pdf_md_spark.operators.textstats import train_val_split
+    from smart_pdf_md_spark.plans.curation_incremental import curate_append
+    from smart_pdf_md_spark.plans.manifests import read_stage
+
+    def mk(lo, hi):
+        rows = [(i, "the story of it is on a hill and for the day "
+                 + " ".join(f"w{i}x{j}" for j in range(120)), "en")
+                for i in range(lo, hi)]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    run_dir = str(tmp_path / "inc")
+    s1 = curate_append(spark, mk(0, 12), run_dir, dup_ngram_max=None,
+                       dedup_threshold=1.01, val_frac=0.3)
+    assert "batch_val_chunks" in s1
+    curate_append(spark, mk(12, 24), run_dir, dup_ngram_max=None,
+                  dedup_threshold=1.01, val_frac=0.3)
+
+    chunks = read_stage(spark, run_dir, "cur_chunks")
+    assert "split" in chunks.columns
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count_distinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_doc)            # chunks co-travel
+    got = {r.doc_id: r.split
+           for r in chunks.select("doc_id", "split").distinct().collect()}
+    # equals the batch-free assignment over the union
+    want = {r.doc_id: r.split for r in train_val_split(
+        mk(0, 24), val_frac=0.3).select("doc_id", "split").collect()}
+    assert got == {k: want[k] for k in got}
+    assert "val" in set(got.values()) and "train" in set(got.values())

@@ -388,3 +388,31 @@ def test_domain_divergence_numpy_and_duckdb_parity(spark):
               .sort_values("domain").reset_index(drop=True))
     pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_domain_divergence_plan_no_vocab_blowup(spark):
+    """Scale pin: the absent-word decomposition must not build a
+    domain x vocabulary relation — no CartesianProduct /
+    BroadcastNestedLoopJoin except against 1-row broadcast stats."""
+    import io
+    from contextlib import redirect_stdout
+
+    from smart_pdf_md_spark.operators.lm import domain_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "c d e f", "y")],
+        ["doc_id", "text", "source"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        domain_divergence(docs).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+    # the only nested-loop joins are against the broadcast 1-row stats
+    # frames (tot / s_all) — count PLAN NODES (tree string, not the
+    # formatted details which repeat each node name)
+    tree = domain_divergence(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # every BNLJ here has a 1-row aggregated build side (tot appears in
+    # three consumers, s_all in one; no reuse across them) — bounded by
+    # the number of stats crossJoins, never data-dependent
+    assert tree.count("BroadcastNestedLoopJoin") <= 6
+    assert "CartesianProduct" not in tree

@@ -321,3 +321,18 @@ def test_mg_heavy_hitters_bounds_and_merge(spark):
     for key, cnt in truth.items():
         if cnt > 2 * bound:
             assert key in merged
+
+
+def test_bottomk_plan_is_take_ordered_not_global_sort(spark):
+    """Scale pin: bottom-k compiles to TakeOrderedAndProject (per-
+    partition heaps, k-bounded driver merge) — never a global Sort +
+    Exchange of the corpus."""
+    from smart_pdf_md_spark.operators.sketches import bottomk_sample
+
+    df = spark.range(100000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"))
+    plan = bottomk_sample(df, 20, key_cols=["doc_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
