@@ -379,3 +379,43 @@ def test_duplicate_spans_anchor_passthrough_skips_winnow(spark, monkeypatch):
     rows_shifted = D.duplicate_spans(docs, pairs, min_len=50,
                                      anchors=shifted).collect()
     assert sorted(map(tuple, rows_shifted)) != sorted(map(tuple, rows))
+
+
+def test_dedup_paragraphs_roundtrip_property(spark):
+    """Property (hypothesis): for any corpus of unicode-ish lines with NO
+    cross-document duplicate eligible lines, dedup_paragraphs is a byte-
+    exact identity (split → rejoin round-trip, was_rewritten all false,
+    sha256 lineage of the unchanged text)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters="\n"),
+        min_size=0, max_size=12)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.lists(line, min_size=0, max_size=5),
+                    min_size=1, max_size=5))
+    def check(docs_lines):
+        # make eligible lines globally unique so nothing dedups
+        rows = []
+        for i, ls in enumerate(docs_lines):
+            # eligibility uses SPARK trim semantics (spaces only — '\r'
+            # etc. count as content on both engines, the documented
+            # tokenization quirk): uniquify exactly the eligible lines
+            uniq = [(f"{i}:{j}:" + l) if l.replace(" ", "") else l
+                    for j, l in enumerate(ls)]
+            rows.append((i, "\n".join(uniq)))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in D.dedup_paragraphs(docs).collect()}
+        for i, text in rows:
+            assert got[i].text == text
+            assert not got[i].was_rewritten
+            assert got[i].removed_chars == 0
+            assert got[i].content_sha256 == hashlib.sha256(
+                text.encode("utf-8")).hexdigest()
+
+    check()
