@@ -320,7 +320,8 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
 
 
 def dedup_clusters(pairs: DataFrame, docs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   order_col: str | None = None) -> DataFrame:
     """Close the dedup loop: near-dup PAIRS (from any pair operator in this
     module — Jaccard/MinHash/SimHash/cosine) → duplicate CLUSTERS → one
     deterministic keeper per cluster. Returns one row per INPUT doc:
@@ -331,26 +332,48 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame,
     Clustering is transitive closure over the pair graph — the same
     min-label connected components as entity canonicalization
     (operators/cc.py: distributed fixpoint above the size cap, union-find
-    below), so the keeper is the MINIMUM id of the cluster: content-derived,
-    deterministic at any parallelism. Pair operators emit vocabulary- or
-    near-dup-bounded edge sets, so CC state is pairs-sized, not corpus-sized."""
+    below), so the default keeper is the MINIMUM id of the cluster:
+    content-derived, deterministic at any parallelism. ``order_col``
+    (numeric, e.g. a quality score) switches to the KEEP-THE-BEST-COPY
+    policy most published pipelines use (RefinedWeb, Gopher dedup): the
+    keeper is the cluster's max-``order_col`` doc, ties broken by min id,
+    null scores rank worst — still a pure function of the row set. Pair
+    operators emit vocabulary- or near-dup-bounded edge sets, so CC state
+    is pairs-sized, not corpus-sized."""
     from .cc import connected_components
 
     edges = pairs.select(F.col("id_a").cast("string").alias("name_a"),
                          F.col("id_b").cast("string").alias("name_b"))
     comps = connected_components(edges)
-    ids = docs.select(F.col(id_col).cast("string").alias("name"))
+    cols = [F.col(id_col).cast("string").alias("name")]
+    if order_col is not None:
+        cols.append(F.col(order_col).cast("double").alias("_s"))
+    ids = docs.select(*cols)
     id_type = docs.schema[id_col].dataType
     out = (
         ids.join(comps, "name", "left")
-        .select("name",
+        .select("name", *([c for c in ("_s",) if order_col is not None]),
                 F.coalesce(F.col("component"), F.col("name")).alias("_comp"))
     )
-    # keeper = min ORIGINAL-typed id in the cluster (string-min would order
-    # "10" < "9"); cluster sizes via one groupBy on the component label
-    keeper = (out.groupBy("_comp")
-              .agg(F.min(F.col("name").cast(id_type)).alias("keeper_id"),
-                   F.count("*").alias("cluster_size")))
+    # keeper agg: min ORIGINAL-typed id (string-min would order "10" <
+    # "9"), or min over (-score, id) for best-copy; one groupBy on the
+    # component label either way
+    if order_col is None:
+        keeper = (out.groupBy("_comp")
+                  .agg(F.min(F.col("name").cast(id_type))
+                       .alias("keeper_id"),
+                       F.count("*").alias("cluster_size")))
+    else:
+        best = F.min(F.struct(
+            (-F.coalesce(F.col("_s"),
+                         F.lit(float("-inf")))).alias("neg_s"),
+            F.col("name").cast(id_type).alias("kid")))
+        keeper = (out.groupBy("_comp")
+                  .agg(best.alias("_best"),
+                       F.count("*").alias("cluster_size"))
+                  .select("_comp", F.col("_best.kid").alias("keeper_id"),
+                          "cluster_size"))
+        out = out.drop("_s")
     return (out.join(keeper, "_comp")
             .select(F.col("name").cast(id_type).alias("id"),
                     "keeper_id", "cluster_size",

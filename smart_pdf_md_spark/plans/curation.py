@@ -72,6 +72,7 @@ def run_curation(
     max_compression_ratio: float | None = None,
     gopher: bool = False,
     dedup_threshold: float = 0.9,
+    dedup_keep: str = "min_id",
     fractions: dict | None = None,
     max_per_source: int | None = None,
     domain_col: str = "source",
@@ -121,6 +122,10 @@ def run_curation(
     with the benchmark set (GPT-3 appendix-C overlap) are dropped between
     filter and dedup — eval answers memorized verbatim in the training set
     are the one corpus defect no downstream metric can surface.
+    ``dedup_keep="best_quality"`` switches the dedup stage's keeper from
+    the deterministic min-id to the cluster's highest-quality doc (ties
+    min id) — the keep-the-best-copy policy published pipelines use;
+    participates in the params digest.
     ``max_per_source`` applies the Gopher/MassiveWeb per-domain limit in
     the filter stage (top-n per ``domain_col`` by quality, deterministic
     doc_id tie-break — textstats.cap_per_group): a single template-heavy
@@ -211,6 +216,8 @@ def run_curation(
         raise ValueError("semdedup_eps requires an embeddings frame")
     if decontam_via not in ("exact", "bloom"):
         raise ValueError(f"unknown decontam_via: {decontam_via!r}")
+    if dedup_keep not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown dedup_keep: {dedup_keep!r}")
     if (mix_weights is None) != (mix_budget_tokens is None):
         raise ValueError("mix_weights and mix_budget_tokens must be "
                          "supplied together")
@@ -442,7 +449,9 @@ def run_curation(
             .select("id_a", "id_b") \
             .unionByName(exact_dup_pairs(upstream)) \
             .dropDuplicates(["id_a", "id_b"])
-        clusters = dedup_clusters(pairs, upstream)
+        clusters = dedup_clusters(
+            pairs, upstream,
+            order_col="quality" if dedup_keep == "best_quality" else None)
         return (upstream.join(
             clusters.select(F.col("id").alias("doc_id"), "keeper_id",
                             "cluster_size", "is_keeper"), "doc_id")
@@ -452,7 +461,8 @@ def run_curation(
     kept, resumed["kept"] = run_stage(
         spark, run_dir, "kept", build_kept, ["doc_id"],
         deps=[upstream_name],
-        params={"dedup_threshold": dedup_threshold})
+        params={"dedup_threshold": dedup_threshold,
+                "dedup_keep": dedup_keep})
     _note("kept")
     upstream, upstream_name = kept, "kept"
 

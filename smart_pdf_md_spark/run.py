@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] Gopher duplicate-3-gram cut; pass a "
                          "value >= 1 to disable")
     ap.add_argument("--dedup-threshold", type=float, default=0.9)
+    ap.add_argument("--dedup-keep", choices=("min_id", "best_quality"),
+                    default="min_id",
+                    help="[curate] near-dup cluster keeper policy: "
+                         "deterministic min id, or the highest-quality "
+                         "copy (ties min id)")
     ap.add_argument("--gopher", action="store_true",
                     help="[curate] add the full Gopher/MassiveWeb rule "
                          "battery (Rae 2021 A1.1) to the filter stage")

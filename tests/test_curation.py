@@ -670,3 +670,47 @@ def test_curation_split_and_mix_terminal_stages(spark, tmp_path):
     with pytest.raises(ValueError, match="mix_weights"):
         run_curation(spark, docs, run_dir, dup_ngram_max=None,
                      dedup_threshold=1.01, mix_weights={"web": 1.0})
+
+
+@pytest.mark.slow
+def test_curation_dedup_keep_best_quality(spark, tmp_path):
+    """dedup_keep='best_quality': the kept copy of a near-dup cluster is
+    the highest-quality one (ties min id), the knob rebuilds the stage,
+    and the default min-id behavior is unchanged."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    base = ("the story of it is on a hill and for the day it was a good "
+            "one in the end " + " ".join(f"w{j}" for j in range(40)))
+    # doc 5 = doc 1's text plus a long stopword-rich tail -> same cluster
+    # (high jaccard), strictly higher quality score (longer, more stops)
+    better = base + " and then the story of it was that the day was good"
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (5, better, "en"),
+         (9, "completely different original text " +
+          " ".join(f"z{j} of the day" for j in range(30)), "en")],
+        ["doc_id", "text", "lang"])
+
+    d1 = str(tmp_path / "minid")
+    res_min = run_curation(spark, docs, d1, dup_ngram_max=None,
+                           dedup_threshold=0.5)
+    kept_min = {r.doc_id for r in res_min["kept"].select("doc_id").collect()}
+
+    d2 = str(tmp_path / "best")
+    res_best = run_curation(spark, docs, d2, dup_ngram_max=None,
+                            dedup_threshold=0.5,
+                            dedup_keep="best_quality")
+    kept_best = {r.doc_id
+                 for r in res_best["kept"].select("doc_id").collect()}
+    if kept_min == kept_best:
+        # the pair must actually have clustered for the test to bite
+        assert res_min["summary"]["after_dedup"] < 3
+    assert 1 in kept_min and 5 not in kept_min
+    assert 5 in kept_best and 1 not in kept_best
+    assert 9 in kept_min and 9 in kept_best
+
+    res2 = run_curation(spark, docs, d2, dup_ngram_max=None,
+                        dedup_threshold=0.5, dedup_keep="min_id")
+    assert res2["resumed"]["kept"] is False          # knob -> rebuild
+
+    with pytest.raises(ValueError, match="dedup_keep"):
+        run_curation(spark, docs, d2, dedup_keep="nope")

@@ -1209,3 +1209,22 @@ def test_mix_corpus_hits_proportions_with_upsampling(spark):
     # unnamed domains drop
     assert mix_corpus(docs, {"wiki": 1.0}, budget) \
         .filter("source = 'web'").count() == 0
+
+
+def test_dedup_clusters_best_copy_keeper(spark):
+    """order_col: the keeper is the cluster's max-score doc, ties min id,
+    null scores worst; singletons keep themselves; default unchanged."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, None), (11, 0.1), (99, 0.0)],
+        "doc_id long, quality double")
+    got = {r.id: r for r in
+           D.dedup_clusters(pairs, docs, order_col="quality").collect()}
+    assert got[1].keeper_id == 2          # max score 0.9, tie 2 < 3
+    assert got[2].is_keeper and not got[3].is_keeper
+    assert got[10].keeper_id == 11        # null ranks worst
+    assert got[99].is_keeper and got[99].cluster_size == 1
+    # default policy untouched
+    mn = {r.id: r.keeper_id for r in D.dedup_clusters(pairs, docs).collect()}
+    assert mn[3] == 1 and mn[11] == 10
