@@ -423,3 +423,41 @@ def mg_merge(k: int, *summaries: DataFrame) -> DataFrame:
         out = out.unionByName(s)
     return mg_compress(out.groupBy("key").agg(F.sum("est").alias("est")),
                        k)
+
+
+def grouped_quantiles(df: DataFrame, value_col: str, by: str,
+                      qs: list[float], k: int = 8) -> DataFrame:
+    """→ (``by``, q, est) — per-GROUP quantile estimates from per-group
+    log-histograms, entirely as DataFrame ops (the distributed form of
+    :func:`log_histogram_quantiles`' driver-side walk — that one returns
+    scalars for ONE population; this one scales to millions of groups).
+    Relative error ≤ 2^(1/k) − 1 per estimate, like the base sketch.
+
+    Shape: one map-side-combinable (group, bucket) count agg, then the
+    quantile walk runs on the HISTOGRAM relation (groups × ≤ k·64+1
+    buckets): a per-group cumulative window, a ×|qs| explode of the
+    bucket rows, and a min-bucket-at-rank agg. The corpus is touched
+    once; everything after is histogram-sized."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    v = F.col(value_col).cast("double")
+    bucket = F.when(v <= 0, F.lit(_LOG_MIN_BUCKET)) \
+        .otherwise(F.floor(F.lit(k) * F.log2(v)).cast("long"))
+    hist = (df.select(F.col(by), bucket.alias("bucket"))
+            .groupBy(by, "bucket").agg(F.count("*").alias("cnt")))
+    w_cum = (Window.partitionBy(by).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(by)
+    cum = (hist.withColumn("_cum", F.sum("cnt").over(w_cum))
+           .withColumn("_tot", F.sum("cnt").over(w_all)))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    est = F.when(F.col("bucket") == _LOG_MIN_BUCKET, F.lit(0.0)) \
+        .otherwise(F.pow(F.lit(2.0), (F.col("bucket") + 0.5) / F.lit(k)))
+    return (cum.select(by, "bucket", "_cum", "_tot", qcol)
+            .filter(F.col("_cum") >= F.col("q") * F.col("_tot"))
+            .groupBy(by, "q")
+            .agg(F.min("bucket").alias("_b"),
+                 F.min_by(est, F.col("bucket")).alias("est"))
+            .drop("_b")
+            .select(by, "q", F.round(F.col("est") + 1e-9, 6).alias("est")))

@@ -336,3 +336,38 @@ def test_bottomk_plan_is_take_ordered_not_global_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_grouped_quantiles_accuracy_and_shape(spark):
+    """Per-group quantiles from per-group log-histograms, as DataFrame
+    ops: every estimate within the 2^(1/k)-1 relative bound of the exact
+    per-group percentile; zeros interpolate as 0; invalid q rejected."""
+    import pytest
+
+    from smart_pdf_md_spark.operators.sketches import grouped_quantiles
+
+    rows = ([("a", float(i + 1)) for i in range(1000)] +        # 1..1000
+            [("b", 2.0 ** (i % 10)) for i in range(500)] +      # log-spread
+            [("z", 0.0)] * 10 + [("z", 8.0)] * 10)
+    df = spark.createDataFrame(rows, ["g", "v"])
+    k = 8
+    tol = 2 ** (1.0 / k) - 1
+    got = {(r.g, r.q): r.est for r in
+           grouped_quantiles(df, "v", "g", [0.5, 0.9], k=k).collect()}
+
+    import numpy as np
+    vals = {"a": np.array([v for g, v in rows if g == "a"]),
+            "b": np.array([v for g, v in rows if g == "b"]),
+            "z": np.array([v for g, v in rows if g == "z"])}
+    for g in ("a", "b"):
+        for q in (0.5, 0.9):
+            # rank semantics (the sketch walks cumulative counts to the
+            # rank), not numpy's default linear interpolation
+            exact = float(np.quantile(vals[g], q, method="inverted_cdf"))
+            assert abs(got[(g, q)] - exact) / exact <= tol + 0.02, \
+                (g, q, got[(g, q)], exact)
+    assert got[("z", 0.5)] == 0.0            # zero bucket ranks first
+    assert abs(got[("z", 0.9)] - 8.0) / 8.0 <= tol
+
+    with pytest.raises(ValueError, match="outside"):
+        grouped_quantiles(df, "v", "g", [1.5])
