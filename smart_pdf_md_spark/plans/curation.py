@@ -45,6 +45,7 @@ from ..operators.classifier import (
 from ..operators.importance import dsir_logratio, dsir_resample
 from ..operators.lm import ppl_buckets
 from ..operators.similarity import semdedup
+from ..operators.urls import filter_blocked_domains
 from ..operators.textstats import (
     cap_per_group,
     chunk_documents,
@@ -71,6 +72,8 @@ def run_curation(
     dup_ngram_max: float | None = 0.8,
     max_compression_ratio: float | None = None,
     gopher: bool = False,
+    blocked_domains: DataFrame | None = None,
+    url_col: str = "url",
     dedup_threshold: float = 0.9,
     dedup_keep: str = "min_id",
     fractions: dict | None = None,
@@ -183,6 +186,12 @@ def run_curation(
     Audit column ``prob`` is committed; the params digest covers the
     target content, iteration count, and all three knobs.
 
+    ``blocked_domains`` (one ``domain`` column) + a ``url_col`` on the
+    input enable the URL gate as the FIRST committed stage (RefinedWeb
+    ordering — operators/urls.filter_blocked_domains, suffix-matched so
+    a blocked domain blocks its subdomains); the blocklist content rides
+    the params digest, after_urlgate lands in the summary.
+
     Terminal training-set stages (r9): ``val_frac`` commits a
     deterministic train/val ``split`` column over the chunks (doc-keyed —
     every chunk of a doc co-travels; near-dups were already collapsed by
@@ -235,10 +244,34 @@ def run_curation(
         if on_stage is not None:
             on_stage(stage, resumed[stage])
 
+    urlgate = None
+    if blocked_domains is not None:
+        # the FIRST gate (RefinedWeb ordering — URL filtering precedes
+        # every content read): suffix-matched blocked-domain drop,
+        # committed so downstream stages depend on its run_id. Requires
+        # the url column; the blocklist content rides the params digest.
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"blocked_domains requires docs to carry {url_col!r}")
+        bfp = blocked_domains.select(
+            F.xxhash64(F.lower(F.col("domain"))).alias("h"))             .agg(F.count("*").alias("n"),
+                 F.expr("bit_xor(h)").alias("h")).collect()[0]
+
+        def build_urlgate() -> DataFrame:
+            return filter_blocked_domains(docs, blocked_domains,
+                                          url_col=url_col)
+
+        urlgate, resumed["urlgate"] = run_stage(
+            spark, run_dir, "urlgate", build_urlgate, ["doc_id"],
+            params={"blocklist_fp": f"{bfp.n}:{bfp.h}",
+                    "url_col": url_col})
+        _note("urlgate")
+
+    gate_src = urlgate if urlgate is not None else docs
     cols = ["doc_id", "text", "lang"]
     if max_per_source is not None:
         cols.append(domain_col)
-    base = docs.select(*cols)
+    base = gate_src.select(*cols)
 
     def build_scrubbed() -> DataFrame:
         # ONE scan-side select (r5 VERDICT what's-wrong #2): the scrub is a
@@ -258,6 +291,7 @@ def run_curation(
     # cap_per_group; the reverse silently served a stale schema/grouping.
     scrubbed, resumed["scrubbed"] = run_stage(
         spark, run_dir, "scrubbed", build_scrubbed, ["doc_id"],
+        deps=["urlgate"] if urlgate is not None else None,
         params={"extra_col": domain_col if max_per_source is not None
                 else None})
     _note("scrubbed")
@@ -611,6 +645,9 @@ def run_curation(
         "resumed": resumed,
         "summary": summary,
     }
+    if urlgate is not None:
+        summary["after_urlgate"] = urlgate.count()
+        out["urlgate"] = urlgate
     if benchmarks is not None:
         summary["after_decontam"] = clean.count()
         out["clean"] = clean

@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="[curate] near-dup cluster keeper policy: "
                          "deterministic min id, or the highest-quality "
                          "copy (ties min id)")
+    ap.add_argument("--blocked-domains",
+                    help="[curate] parquet with a 'domain' column — "
+                         "enables the suffix-matched URL gate as the "
+                         "first committed stage (requires --url-col on "
+                         "the docs)")
+    ap.add_argument("--url-col", default="url",
+                    help="[curate] URL column name for the URL gate")
     ap.add_argument("--gopher", action="store_true",
                     help="[curate] add the full Gopher/MassiveWeb rule "
                          "battery (Rae 2021 A1.1) to the filter stage")
@@ -302,6 +309,9 @@ def _run_curate(args) -> int:
             spark, docs, args.run_dir,
             quality_min=args.quality_min, dup_line_max=args.dup_line_max,
             gopher=args.gopher,
+            blocked_domains=(spark.read.parquet(args.blocked_domains)
+                             if args.blocked_domains else None),
+            url_col=args.url_col,
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
             benchmarks=bench,
             decontam_via=args.decontam_via, dedup_lines=args.dedup_lines,

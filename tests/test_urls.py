@@ -118,3 +118,48 @@ def test_url_keyword_score(spark):
     assert got[1] == 3.5 and got[2] == 0.0
     with pytest.raises(ValueError, match="keyword"):
         url_keyword_score(F.col("url"), {})
+
+
+def test_curation_urlgate_stage(spark, tmp_path):
+    """blocked_domains: the URL gate runs FIRST (committed stage), drops
+    blocked-domain docs before any content work, resumes on an unchanged
+    blocklist, rebuilds when the blocklist content changes, and refuses
+    docs without the url column."""
+    import pytest
+
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    good = ("the story of it is on a hill and for the day it was a good "
+            "one in the end " + " ".join(f"w{j}" for j in range(40)))
+    docs = spark.createDataFrame(
+        [(1, good, "en", "https://ok.example/a"),
+         (2, good + " two", "en", "https://cdn.spam.example/x"),
+         (3, good + " three", "en", "https://fine.org/b")],
+        ["doc_id", "text", "lang", "url"])
+    blocked = spark.createDataFrame([("spam.example",)], ["domain"])
+
+    run_dir = str(tmp_path / "cur")
+    kw = dict(dup_ngram_max=None, dedup_threshold=1.01)
+    res = run_curation(spark, docs, run_dir, blocked_domains=blocked, **kw)
+    assert res["summary"]["after_urlgate"] == 2
+    ids = {r.doc_id for r in res["urlgate"].select("doc_id").collect()}
+    assert ids == {1, 3}
+    kept = {r.doc_id for r in res["kept"].select("doc_id").collect()}
+    assert 2 not in kept
+
+    res2 = run_curation(spark, docs, run_dir, blocked_domains=blocked,
+                        **kw)
+    assert res2["resumed"]["urlgate"] is True
+    assert res2["resumed"]["scrubbed"] is True
+
+    blocked2 = spark.createDataFrame(
+        [("spam.example",), ("fine.org",)], ["domain"])
+    res3 = run_curation(spark, docs, run_dir, blocked_domains=blocked2,
+                        **kw)
+    assert res3["resumed"]["urlgate"] is False       # blocklist changed
+    assert res3["resumed"]["scrubbed"] is False      # dep run_id moved
+    assert res3["summary"]["after_urlgate"] == 1
+
+    with pytest.raises(ValueError, match="url"):
+        run_curation(spark, docs.drop("url"), run_dir,
+                     blocked_domains=blocked, **kw)
