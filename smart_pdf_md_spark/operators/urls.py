@@ -103,3 +103,24 @@ def url_keyword_score(url: Column, weights: dict[str, float]) -> Column:
             .otherwise(F.lit(0.0))
         score = term if score is None else score + term
     return F.round(score + 1e-9, 4)
+
+
+def dedup_by_url(docs: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact URL-level dedup — the CCNet/RefinedWeb re-crawl step: two
+    fetches of the same canonical URL keep only the min-id copy (ties on
+    the NORMALIZED form, so ``http://www.a.com/x?utm_source=y`` and
+    ``https://a.com/x`` variants collapse when normalization agrees).
+    Returns docs + (url_norm, url_dup_count, is_url_keeper); filter on
+    ``is_url_keeper``. One hash agg + one join, both keyed on the 8-byte
+    xxhash64 of the normalized URL (the dedup_paragraphs exchange
+    discipline — URL strings never ride a shuffle as the key)."""
+    norm = url_normalize(F.col(url_col))
+    keyed = docs.withColumn("url_norm", norm) \
+        .withColumn("_uh", F.xxhash64("url_norm"))
+    firsts = (keyed.groupBy("_uh")
+              .agg(F.min(F.col(id_col)).alias("_keep_id"),
+                   F.count("*").alias("url_dup_count")))
+    return (keyed.join(firsts, "_uh")
+            .withColumn("is_url_keeper", F.col(id_col) == F.col("_keep_id"))
+            .drop("_uh", "_keep_id"))

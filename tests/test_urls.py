@@ -163,3 +163,28 @@ def test_curation_urlgate_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="url"):
         run_curation(spark, docs.drop("url"), run_dir,
                      blocked_domains=blocked, **kw)
+
+
+def test_dedup_by_url_keeps_min_id_per_canonical_url(spark):
+    """Normalization variants of one URL collapse to the min-id copy;
+    distinct URLs survive; the exchange keys on the 8-byte hash."""
+    docs = spark.createDataFrame(
+        [(1, "https://www.a.com/x/?utm_source=z", "one"),
+         (2, "https://a.com/x", "two"),
+         (3, "https://a.com/y", "three"),
+         (7, "HTTPS://A.com:443/x#frag", "four")],
+        ["doc_id", "url", "text"])
+    from smart_pdf_md_spark.operators.urls import dedup_by_url
+
+    got = {r.doc_id: r for r in dedup_by_url(docs).collect()}
+    assert got[1].is_url_keeper and got[1].url_dup_count == 3
+    assert not got[2].is_url_keeper and not got[7].is_url_keeper
+    assert got[3].is_url_keeper and got[3].url_dup_count == 1
+    assert got[2].url_norm == got[7].url_norm == "https://a.com/x"
+
+    plan = dedup_by_url(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln:
+            assert "url_norm#" not in ln.replace(" ", "").split(
+                "hashpartitioning(")[1].split(")")[0], ln
