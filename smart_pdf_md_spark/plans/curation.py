@@ -45,7 +45,7 @@ from ..operators.classifier import (
 from ..operators.importance import dsir_logratio, dsir_resample
 from ..operators.lm import ppl_buckets
 from ..operators.similarity import semdedup
-from ..operators.urls import filter_blocked_domains
+from ..operators.urls import dedup_by_url, filter_blocked_domains
 from ..operators.textstats import (
     cap_per_group,
     chunk_documents,
@@ -73,6 +73,7 @@ def run_curation(
     max_compression_ratio: float | None = None,
     gopher: bool = False,
     blocked_domains: DataFrame | None = None,
+    url_dedup: bool = False,
     url_col: str = "url",
     dedup_threshold: float = 0.9,
     dedup_keep: str = "min_id",
@@ -186,11 +187,14 @@ def run_curation(
     Audit column ``prob`` is committed; the params digest covers the
     target content, iteration count, and all three knobs.
 
-    ``blocked_domains`` (one ``domain`` column) + a ``url_col`` on the
-    input enable the URL gate as the FIRST committed stage (RefinedWeb
-    ordering — operators/urls.filter_blocked_domains, suffix-matched so
-    a blocked domain blocks its subdomains); the blocklist content rides
-    the params digest, after_urlgate lands in the summary.
+    ``blocked_domains`` (one ``domain`` column) and/or ``url_dedup=True``
+    + a ``url_col`` on the input enable the URL gate as the FIRST
+    committed stage (RefinedWeb ordering): suffix-matched blocked-domain
+    drops (operators/urls.filter_blocked_domains — a blocked domain
+    blocks its subdomains), then canonical-URL exact dedup (dedup_by_url,
+    min-id keeper per normalized URL). The blocklist content and the
+    dedup knob ride the params digest; after_urlgate lands in the
+    summary.
 
     Terminal training-set stages (r9): ``val_frac`` commits a
     deterministic train/val ``split`` column over the chunks (doc-keyed —
@@ -245,25 +249,37 @@ def run_curation(
             on_stage(stage, resumed[stage])
 
     urlgate = None
-    if blocked_domains is not None:
+    if blocked_domains is not None or url_dedup:
         # the FIRST gate (RefinedWeb ordering — URL filtering precedes
         # every content read): suffix-matched blocked-domain drop,
         # committed so downstream stages depend on its run_id. Requires
         # the url column; the blocklist content rides the params digest.
         if url_col not in docs.columns:
             raise ValueError(
-                f"blocked_domains requires docs to carry {url_col!r}")
-        bfp = blocked_domains.select(
-            F.xxhash64(F.lower(F.col("domain"))).alias("h"))             .agg(F.count("*").alias("n"),
-                 F.expr("bit_xor(h)").alias("h")).collect()[0]
+                f"the url gate requires docs to carry {url_col!r}")
+        bfp = None
+        if blocked_domains is not None:
+            r = (blocked_domains.select(
+                F.xxhash64(F.lower(F.col("domain"))).alias("h"))
+                .agg(F.count("*").alias("n"),
+                     F.expr("bit_xor(h)").alias("h")).collect()[0])
+            bfp = f"{r.n}:{r.h}"
 
         def build_urlgate() -> DataFrame:
-            return filter_blocked_domains(docs, blocked_domains,
-                                          url_col=url_col)
+            out = docs
+            if blocked_domains is not None:
+                out = filter_blocked_domains(out, blocked_domains,
+                                             url_col=url_col)
+            if url_dedup:
+                # CCNet re-crawl dedup: one doc per canonical URL
+                out = (dedup_by_url(out, url_col=url_col)
+                       .filter("is_url_keeper")
+                       .drop("url_norm", "url_dup_count", "is_url_keeper"))
+            return out
 
         urlgate, resumed["urlgate"] = run_stage(
             spark, run_dir, "urlgate", build_urlgate, ["doc_id"],
-            params={"blocklist_fp": f"{bfp.n}:{bfp.h}",
+            params={"blocklist_fp": bfp, "url_dedup": url_dedup,
                     "url_col": url_col})
         _note("urlgate")
 

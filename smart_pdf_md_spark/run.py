@@ -91,6 +91,9 @@ def main(argv: list[str] | None = None) -> int:
                          "enables the suffix-matched URL gate as the "
                          "first committed stage (requires --url-col on "
                          "the docs)")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="[curate] canonical-URL exact dedup in the URL "
+                         "gate (min-id keeper per normalized URL)")
     ap.add_argument("--url-col", default="url",
                     help="[curate] URL column name for the URL gate")
     ap.add_argument("--gopher", action="store_true",
@@ -311,6 +314,7 @@ def _run_curate(args) -> int:
             gopher=args.gopher,
             blocked_domains=(spark.read.parquet(args.blocked_domains)
                              if args.blocked_domains else None),
+            url_dedup=args.url_dedup,
             url_col=args.url_col,
             dup_ngram_max=dup_ngram, dedup_threshold=args.dedup_threshold,
             benchmarks=bench,

@@ -188,3 +188,32 @@ def test_dedup_by_url_keeps_min_id_per_canonical_url(spark):
         if "hashpartitioning" in ln:
             assert "url_norm#" not in ln.replace(" ", "").split(
                 "hashpartitioning(")[1].split(")")[0], ln
+
+
+def test_curation_urlgate_url_dedup(spark, tmp_path):
+    """url_dedup=True: the gate also collapses canonical-URL duplicates
+    (with or without a blocklist); the knob rides the params digest."""
+    from smart_pdf_md_spark.plans.curation import run_curation
+
+    good = ("the story of it is on a hill and for the day it was a good "
+            "one in the end " + " ".join(f"w{j}" for j in range(40)))
+    docs = spark.createDataFrame(
+        [(1, good, "en", "https://www.a.com/x/?utm_source=z"),
+         (2, good + " two", "en", "https://a.com/x"),
+         (3, good + " three", "en", "https://b.org/y"),
+         (4, good + " four", "en", "https://cdn.spam.example/z")],
+        ["doc_id", "text", "lang", "url"])
+    blocked = spark.createDataFrame([("spam.example",)], ["domain"])
+
+    run_dir = str(tmp_path / "cur")
+    kw = dict(dup_ngram_max=None, dedup_threshold=1.01)
+    res = run_curation(spark, docs, run_dir, url_dedup=True, **kw)
+    ids = {r.doc_id for r in res["urlgate"].select("doc_id").collect()}
+    assert ids == {1, 3, 4}                 # url dup 2 collapses into 1
+    assert res["summary"]["after_urlgate"] == 3
+
+    res2 = run_curation(spark, docs, run_dir, url_dedup=True,
+                        blocked_domains=blocked, **kw)
+    assert res2["resumed"]["urlgate"] is False    # blocklist appeared
+    ids2 = {r.doc_id for r in res2["urlgate"].select("doc_id").collect()}
+    assert ids2 == {1, 3}                   # blocked 4 AND deduped 2
