@@ -1514,11 +1514,19 @@ def _dedup_paragraphs_q(spark, sf):
     # cross-engine hash-keyed formulation (text_fingerprint discipline).
     docs = _t(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    nl = F.ceil(F.size(toks) / F.lit(3)).cast("int")
-    lined = F.array_join(
-        F.transform(F.sequence(F.lit(0), nl - 1),
-                    lambda i: F.array_join(
-                        F.slice(toks, i * 3 + 1, 3), " ")), "\n")
+    # bind the token array ONCE via the single-element aggregate (the
+    # gram_hash_arr trick, r10): Catalyst does not hoist common
+    # subexpressions out of HOF lambdas, so referencing `toks` inside the
+    # per-line slice re-split the document per output line — O(L²) per doc.
+    # Same output, one tokenization per doc.
+    lined = F.aggregate(
+        F.array(toks), F.lit(None).cast("string"),
+        lambda _, t: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.ceil(F.size(t) / F.lit(3)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(t, i * 3 + 1, 3), " ")),
+            "\n"))
     out = D.dedup_paragraphs(
         docs.select("doc_id", lined.alias("text")))
     return out.select("doc_id", "text", "n_lines", "n_removed_lines",

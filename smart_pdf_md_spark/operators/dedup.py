@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -119,6 +120,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       in :data:`LAST_AUTO_REGIME`."""
     if regime not in ("postings", "prefix", "auto"):
         raise ValueError(f"unknown regime: {regime!r}")
+    # NOTE (r10, measured): carrying per-doc set sizes on every posting row
+    # (with_size=True) to skip the sizes agg + joins was A/B'd and is ~14%
+    # SLOWER here — the heavy pair-count aggregation then groups on 32-byte
+    # keys instead of 16, and that exchange dominates; the sizes joins it
+    # saved are tiny. Kept the narrow-key formulation.
     sh = _shingles(df, text_col, id_col, n)
     # force a hash exchange on the join key: with a small/single-partition
     # source, Catalyst otherwise broadcasts both sides and fuses the whole
@@ -397,21 +403,46 @@ def minhash_doc_signatures(df: DataFrame, text_col: str = "text",
     from .linking import _A, _B, _MERSENNE
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def doc_sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if len(toks) < 3:
-                out.append(None)
-                continue
-            grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                                "big") & ((1 << 61) - 1) for g in grams),
-                dtype=np.int64, count=len(grams))
-            perm = (hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
-            out.append(perm.min(axis=0).tolist())
-        return pd.Series(out)
+    def doc_sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Per-task gram → permuted-row cache (guide §4.5: heavyweight work
+        # once per task, amortized over every batch): duplicated shingles —
+        # boilerplate, near-dup clusters, small vocabularies — skip both the
+        # per-gram blake2b and the (1, N_PERM) permutation multiply on
+        # every repeat. Arithmetic is IDENTICAL to the uncached form (same
+        # int64 expression, elementwise min over the same rows), so
+        # signatures are bit-equal. Capped so a pathological partition of
+        # all-distinct grams cannot grow the dict unboundedly.
+        cache: dict[str, np.ndarray] = {}
+        cache_max = 1 << 17
+        for texts in batches:
+            out = []
+            for t in texts:
+                toks = (t or "").split()
+                if len(toks) < 3:
+                    out.append(None)
+                    continue
+                grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+                vecs, misses = [], []
+                for g in grams:
+                    v = cache.get(g)
+                    if v is None:
+                        misses.append(g)
+                    else:
+                        vecs.append(v)
+                if misses:
+                    hs = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                            "big") & ((1 << 61) - 1) for g in misses),
+                        dtype=np.int64, count=len(misses))
+                    mv = (hs[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+                    under = len(cache) < cache_max
+                    for g, row in zip(misses, mv):
+                        if under:
+                            cache[g] = row
+                        vecs.append(row)
+                out.append(np.min(np.stack(vecs), axis=0).tolist())
+            yield pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"),
                      doc_sig(F.col(text_col)).alias("sig")) \
@@ -1150,21 +1181,28 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                           F.col("_first").isNull() |
                           (F.struct(F.col("id"), F.col("idx"))
                            == F.col("_first"))))
+    # ONE collect per doc carrying the keep flag; both the rewritten text
+    # and the ORIGINAL text derive from the sorted collection (r10, guide
+    # §2.4): reconstructing _orig here — split/rejoin on a literal sep is
+    # byte-lossless — removes a third full evaluation of the input
+    # expression tree (the r9 shape read `docs` once for _orig, once for
+    # the firsts branch, once for the rebuild branch; expensive derived
+    # text_col inputs, e.g. the board query's 3-word lining, paid 3×).
+    # Docs with NULL text have no exploded rows and fall through the left
+    # join exactly as before (NULL text, 0 lines, NULL removed_chars).
+    coll = F.array_sort(F.collect_list(F.struct("idx", "line", "_keep")))
     rebuilt = (marked.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.when(F.col("_keep"),
-                           F.struct("idx", "line")))),
-                lambda s: s.line), sep).alias("_new"),
+        F.array_join(F.transform(
+            F.filter(coll, lambda s: s["_keep"]), lambda s: s["line"]), sep)
+        .alias("_new"),
+        F.array_join(F.transform(coll, lambda s: s["line"]), sep)
+        .alias("_orig"),
         F.count("*").cast("int").alias("n_lines"),
         F.sum((~F.col("_keep")).cast("int")).cast("int")
-        .alias("n_removed_lines"),
-        F.sum(F.when(~F.col("_keep"), F.length("line")).otherwise(0))
-        .cast("int").alias("_removed_line_chars")))
+        .alias("n_removed_lines")))
 
     other = [c for c in docs.columns if c not in (id_col, text_col)]
-    out = (docs.withColumnRenamed(text_col, "_orig")
+    out = (docs.drop(text_col)
            .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left"))
     new_text = F.coalesce(F.col("_new"), F.col("_orig"))
     return out.select(

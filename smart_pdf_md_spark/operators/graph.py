@@ -120,14 +120,48 @@ def triangle_count(triples: DataFrame, pred: str | None = None) -> DataFrame:
     minimum-order vertex, so it is counted exactly once, and the wedge join's
     fan-out per node is bounded by its ORIENTED out-degree ≤ O(√m) — a hub
     with a million neighbors contributes √-bounded work instead of 10¹²
-    wedge pairs. Three shuffles total (degree agg, wedge join, closing join);
-    no iteration, no driver loop."""
+    wedge pairs.
+
+    r10 optimization (guide §2.3/§2.4/§5): the count is invariant under any
+    INJECTIVE relabeling of nodes, so after the degree agg every node is
+    relabeled to a dense 8-byte long (`monotonically_increasing_id` — unique
+    by construction, no hash-collision risk) and the wedge + closing joins
+    shuffle 16-byte (src, dst) rows instead of node strings. The canonical
+    edge set, the relabeling table and the oriented edge set are
+    localCheckpoint'd: each is computed ONCE instead of being re-derived by
+    every downstream consumer (the r9 plan inlined the whole
+    union→distinct→degree subtree 5× — 52 Exchanges; this shape executes
+    ~11). The checkpoint pins ONE materialization of the id assignment, so
+    both join consumers see the same labeling. Orientation order is
+    (degree, nid) — still a total order, so exactly-once counting holds."""
     e = triples.filter(F.col("pred") == pred) if pred else triples
     und = (e.select(F.least("subj", "obj").alias("u"),
                     F.greatest("subj", "obj").alias("v"))
            .filter(F.col("u") != F.col("v"))
-           .distinct())
-    return _triangles(und).agg(F.count("*").alias("n_triangles"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    deg = (und.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    m = deg.withColumn("nid", F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)
+    mu = m.select(F.col("node").alias("u"), F.col("deg").alias("du"),
+                  F.col("nid").alias("nu"))
+    mv = m.select(F.col("node").alias("v"), F.col("deg").alias("dv"),
+                  F.col("nid").alias("nv"))
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("nu") < F.col("nv")))
+    o = (und.join(mu, "u").join(mv, "v")
+         .select(F.when(lower_first, F.col("nu")).otherwise(F.col("nv"))
+                 .alias("src"),
+                 F.when(lower_first, F.col("nv")).otherwise(F.col("nu"))
+                 .alias("dst"))
+         .localCheckpoint(eager=True))
+    a, b, c = o.alias("a"), o.alias("b"), o.alias("c")
+    wedges = (a.join(b, F.col("a.dst") == F.col("b.src"))
+              .select(F.col("a.src").alias("x"), F.col("b.dst").alias("z")))
+    tri = wedges.join(
+        c, (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")))
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 def _triangles(und: DataFrame) -> DataFrame:
@@ -655,10 +689,19 @@ def edge_pmi(edges: DataFrame, src_col: str = "src",
     Shape: one pair-count groupBy, two marginal aggs OF THAT pair table
     (never re-touching the edge stream), one broadcast 1-row total, two
     vocabulary-sized joins — ANSI-expressible end to end (DuckDB parity
-    in tests/test_graph.py; rounded with the +1e-9 epsilon)."""
+    in tests/test_graph.py; rounded with the +1e-9 epsilon).
+
+    The pair table is localCheckpoint'd (r10, guide §5): it has FOUR
+    consumers (result join + both marginals + the total), and each is its
+    own query, so without the checkpoint the edge-stream aggregation
+    re-executes per consumer (the r9 plan scanned the edge source 4×).
+    The checkpointed relation is the already-reduced distinct-edge table —
+    the smallest thing in the operator — so materializing it once is the
+    right trade at any scale."""
     pair = (edges.groupBy(F.col(src_col).alias("src"),
                           F.col(dst_col).alias("dst"))
-            .agg(F.count("*").alias("n")))
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True))
     s_marg = pair.groupBy("src").agg(F.sum("n").alias("n_src"))
     d_marg = pair.groupBy("dst").agg(F.sum("n").alias("n_dst"))
     tot = pair.agg(F.sum("n").alias("n_tot"))
