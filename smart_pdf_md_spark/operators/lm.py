@@ -150,6 +150,11 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     big = F.expr(
         f"transform(slice({'_tk'}, 1, size(_tk) - 1), "
         f"(t, i) -> struct(t as w1, _tk[i + 1] as w2))")
+    # NOTE (r10, measured): localCheckpoint'ing per_doc for its five
+    # consumers was A/B'd at sf0.1 and is timing-neutral (ratio 0.97) —
+    # AQE's runtime stage reuse already dedupes the identical map-side
+    # exchanges, so only cheap reduce-side re-aggregations remain. Kept
+    # lazy (composability; ppl_buckets wraps this).
     per_doc = (docs.select(F.col(id_col).alias("doc_id"),
                            toks.alias("_tk"))
                .filter(F.size("_tk") >= 2)

@@ -10,6 +10,8 @@ stage: no shuffle, no UDF, filters push down.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -374,21 +376,33 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
 
 def _winnow_anchors(text: str, n: int, window: int) -> list[tuple[int, int]]:
-    """Winnow-selected anchor positions of one text: [(crc_of_gram,
+    """Winnow-selected anchor positions of one text: [(hash64_of_gram,
     char_offset_of_gram_start)] — the SIGMOD'03 fingerprint selection
     (min of each width-``window`` sliding window over the token n-gram
     hash sequence, rightmost on ties, distinct positions). Python twin of
-    :func:`winnow_fingerprints`' selection, hash-agnostic: the crc only
+    :func:`winnow_fingerprints`' selection, hash-agnostic: the hash only
     needs to be deterministic WITHIN one producer/verifier handoff, never
     across engines. Char offsets, not token indices, so consumers need no
-    re-tokenization. O(len) per text."""
+    re-tokenization. O(len) per text.
+
+    r10 (ADVICE r9, medium): gram hashes are 63-bit blake2b, not 32-bit
+    crc32 — at web scale a 2^32 hash space saturates, so unrelated docs
+    share fingerprints in the emit_anchors pair join, inflating
+    containment and fabricating candidate pairs. Sub-n-token docs emit
+    ONE whole-text anchor (the winnow_fingerprints short-doc rule) instead
+    of disappearing from the pair path entirely."""
     import re
-    import zlib
+
+    def _h63(b: bytes) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "big") & ((1 << 63) - 1)
 
     toks = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
-    if len(toks) < n:
+    if not toks:
         return []
-    hashes = [zlib.crc32(text[toks[i][0]:toks[i + n - 1][1]].encode(
+    if len(toks) < n:
+        return [(_h63(text.encode("utf-8", "surrogatepass")), toks[0][0])]
+    hashes = [_h63(text[toks[i][0]:toks[i + n - 1][1]].encode(
         "utf-8", "surrogatepass")) for i in range(len(toks) - n + 1)]
     anchors: list[tuple[int, int]] = []
     last = -1
