@@ -42,7 +42,9 @@ def main() -> int:
     names = bench_mod.HEADLINE if names_arg == "all" else names_arg.split(",")
     names = [n for n in names if n != "kg_pipeline"]
 
-    spark = build_session(app_name="bench-extra", master=f"local[{CPUS}]")
+    extra = json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}"))
+    spark = build_session(app_name="bench-extra", master=f"local[{CPUS}]",
+                          extra_conf=extra or None)
     qs = em.queries()
     # warmup: JVM classloading + codegen (the bench.py discipline)
     qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop") \
