@@ -222,7 +222,28 @@ def extract_mentions(routed: DataFrame,
             "sha_match", "route_used", "kind", "name", "qualifier", "line",
             "enclosing", "span", "status", "rc")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("file_id", pa.string()), ("repo", pa.string()),
+        ("path", pa.string()), ("commit", pa.string()),
+        ("lang", pa.string()), ("content_sha256", pa.string()),
+        ("sha_match", pa.bool_()), ("route_used", pa.string()),
+        ("kind", pa.string()), ("name", pa.string()),
+        ("qualifier", pa.string()), ("line", pa.int32()),
+        ("enclosing", pa.string()), ("span", pa.list_(pa.int32())),
+        ("status", pa.string()), ("rc", pa.int32())])
+    out_types = {f.name: f.type for f in out_schema}
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow, not mapInPandas (r10, guide §4.2): input columns read
+        # via .to_pylist() (C path) instead of an Arrow→pandas object-array
+        # conversion + itertuples, and output batches assemble from flat
+        # Python lists with one typed pa.array call per column — no pandas
+        # object-dtype intermediate on either side of the boundary. Values
+        # are byte-identical to the previous pandas path (pinned by the
+        # P/R gate and an old-vs-new row comparison).
+        #
         # Per-PARTITION extraction memo: identical (content, lang, route)
         # triples — vendored duplicates that happen to colocate in a scan
         # split — are parsed once. Zero shuffle, composes with either
@@ -230,24 +251,32 @@ def extract_mentions(routed: DataFrame,
         # shuffle and is opt-in; this is the free fraction of that win).
         # Keyed by computed sha (collision-safe), capped so a pathological
         # partition of giant distinct files cannot hold every mention list.
+        from types import SimpleNamespace
+
         memo: dict[tuple, tuple] = {}
         MEMO_MAX = 50_000
-        for pdf in batches:
-            # columnar accumulation: at ~8 mentions/file the dict-of-lists →
-            # DataFrame path is several times cheaper than 8M row dicts
+        for rb in batches:
+            col = {n: rb.column(rb.schema.get_field_index(n)).to_pylist()
+                   for n in ("file_id", "repo", "path", "commit", "lang",
+                             "content_sha256", "route", "content")}
             out: dict[str, list] = {c: [] for c in cols}
             (c_fid, c_repo, c_path, c_commit, c_lang, c_sha, c_match, c_route,
              c_kind, c_name, c_qual, c_line, c_encl, c_span, c_status,
              c_rc) = (out[c] for c in cols)
-            for row in pdf.itertuples(index=False):
-                sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
-                match = sha == row.content_sha256
-                key = (sha, row.lang, row.route)
+            for fid, repo, path, commit, lang, sha_in, route, content in zip(
+                    col["file_id"], col["repo"], col["path"], col["commit"],
+                    col["lang"], col["content_sha256"], col["route"],
+                    col["content"]):
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                match = sha == sha_in
+                key = (sha, lang, route)
                 hit = memo.get(key)
                 if hit is None:
-                    hit = _extract_one(row, chunk_lines, mock_fail, fail_if_gt,
-                                       timeout_sec, sleep_per_chunk, sleep_ast,
-                                       fail_once)
+                    hit = _extract_one(
+                        SimpleNamespace(content=content, route=route,
+                                        lang=lang),
+                        chunk_lines, mock_fail, fail_if_gt,
+                        timeout_sec, sleep_per_chunk, sleep_ast, fail_once)
                     # memoize only 'ok': a timeout/transient failure on the
                     # first copy must not condemn every colocated identical
                     # file without its own attempt (ADVICE r4); non-ok
@@ -256,12 +285,12 @@ def extract_mentions(routed: DataFrame,
                         memo[key] = hit
                 mentions, route_used, status, rc = hit
                 n = len(mentions) + 1
-                c_fid.extend([row.file_id] * n)
-                c_repo.extend([row.repo] * n)
-                c_path.extend([row.path] * n)
-                c_commit.extend([row.commit] * n)
-                c_lang.extend([row.lang] * n)
-                c_sha.extend([row.content_sha256] * n)
+                c_fid.extend([fid] * n)
+                c_repo.extend([repo] * n)
+                c_path.extend([path] * n)
+                c_commit.extend([commit] * n)
+                c_lang.extend([lang] * n)
+                c_sha.extend([sha_in] * n)
                 c_match.extend([match] * n)
                 c_route.extend([route_used] * n)
                 c_kind.append(FILE_MARKER)
@@ -281,9 +310,11 @@ def extract_mentions(routed: DataFrame,
                     c_span.append(m["span"])
                     c_status.append("ok")
                     c_rc.append(RC_OK)
-            yield pd.DataFrame(out, columns=list(cols))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[c], type=out_types[c]) for c in cols],
+                schema=out_schema)
 
-    extracted = routed.mapInPandas(run, schema=_ARROW_SCHEMA)
+    extracted = routed.mapInArrow(run, schema=_ARROW_SCHEMA)
     return extracted.withColumn("mention_id", mention_id_col())
 
 
