@@ -1,4 +1,4 @@
-"""Vectorized mention extraction — the engine layer as ONE mapInPandas stage.
+"""Vectorized mention extraction — the engine layer as ONE mapInArrow stage.
 
 Replaces the reference's 24 converter engines + dispatcher + retry driver
 (/root/reference/src/smart_pdf_md/core.py:277-1074) with a single

@@ -7,7 +7,7 @@ DataFrame DAG (SURVEY.md §3.3):
 
     repo_files → identity cols → include/exclude globs → routing
       → repartition(xxhash64(file_id))        # skew: mega-repo spread (J5)
-      → mapInPandas extraction                # engine layer, Arrow-batched
+      → mapInArrow extraction                 # engine layer, Arrow-batched
       → triple materialization (pure Column exprs, codegen'd)
       → [linking + canonicalization, operators/linking.py + cc.py]
       → sink

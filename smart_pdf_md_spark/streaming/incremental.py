@@ -2,7 +2,7 @@
 
 `readStream` over the repo_files directory (file source tracks processed
 files in the checkpoint — the streaming analogue of the J4 anti-join), the
-SAME extraction stage as batch (mapInPandas is streaming-compatible), and
+SAME extraction stage as batch (mapInArrow is streaming-compatible), and
 `foreachBatch` so each micro-batch commits through the manifest protocol.
 
 This gives exactly-once extraction over a growing corpus without any change
